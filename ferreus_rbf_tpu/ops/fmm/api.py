@@ -1,0 +1,583 @@
+"""FmmTree: the user-facing BBFMM evaluator, TPU-native.
+
+Public surface mirrors ``ferreus_bbfmm::FmmTree`` (``bbfmm.rs:257-616``):
+``set_weights`` (upward pass), ``evaluate`` / ``evaluate_with_gradients``
+(downward + leaf pass), ``set_local_coefficients`` (full-tree downward pass,
+amortised for repeated evaluation) and ``evaluate_leaves`` /
+``evaluate_leaves_with_gradients`` (leaf pass only). Multi-RHS throughout.
+
+Execution model (the TPU-first redesign):
+
+* the octree, interaction lists and bucket/padding layout are built once on
+  the host (``tree.py``) as flat index arrays;
+* multipole/local coefficients live on device as one (ncells, p^d, nrhs)
+  tensor;
+* every pass is a batched einsum/gather pipeline jitted once per tree:
+  P2M/L2P contract padded leaf-bucket weight tensors on the MXU, M2M/L2L are
+  2^d (p^d, p^d) matmuls per level, M2L gathers permuted multipole columns
+  per (level, reference-vector) group and applies the compressed (U, V^T)
+  pair as two big matmuls, and the near-field P2P contracts phi(r2) tiles
+  against source weights in fixed-size chunks;
+* target batches are bucketed per leaf on the host with power-of-two shape
+  quantisation so repeated calls (isosurfacing wavefronts, solver matvecs)
+  reuse compiled programs; plan arrays are passed to the jitted passes as a
+  pytree argument (not closure constants) to keep HLO small;
+* the rayon-and-raw-pointer scatters of the reference become ``.at[].add``
+  over disjoint or duplicate index sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...config import FmmCompressionType, FmmParams
+from ..kernels import Kernel, KernelParams, make_kernel
+from . import cheb, m2l, tree as tree_mod
+from .tree import Octree, PointOutsideTreeError, calculate_tree_center_and_radius
+
+__all__ = ["FmmTree", "PointOutsideTreeError", "KernelDoesNotSupportGradientsError"]
+
+
+class KernelDoesNotSupportGradientsError(ValueError):
+    def __init__(self):
+        super().__init__(
+            "FMM evaluation failed: gradient evaluation requested but kernel "
+            "does not support gradients"
+        )
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+# --------------------------------------------------------------------- jitted
+# Module-level pass functions: all tree-specific data arrives in the `dev`
+# pytree argument; only the kernel closures / dimensionality arrive statically.
+
+
+from functools import partial as _partial
+
+
+@jax.jit
+def _upward(dev, weights):
+    """weights (N, nrhs), original point order -> (multipole, w_sorted)."""
+    w_sorted = weights[dev["point_order"]]
+    ncells = dev["cell_centers"].shape[0]
+    nnodes = dev["w_src"].shape[2]
+    mult = jnp.zeros((ncells, nnodes, weights.shape[1]), jnp.float64)
+    nsl = dev["w_src"].shape[0]
+    wb = w_sorted[dev["src_bucket_idx"][:nsl]]
+    wb = jnp.where(dev["src_bucket_mask"][:nsl, :, None], wb, 0.0)
+    mult = mult.at[dev["src_leaf_cells"]].add(jnp.einsum("lsp,lsr->lpr", dev["w_src"], wb))
+    for per_octant in dev["m2m_groups"]:
+        for o, (ch, pa) in enumerate(per_octant):
+            mult = mult.at[pa].add(jnp.einsum("pq,cqr->cpr", dev["m2m_ops"][o], mult[ch]))
+    return mult, w_sorted
+
+
+@_partial(jax.jit, static_argnames=("kparams",))
+def _downward(dev, mult, w_sorted, *, kparams):
+    kernel = make_kernel(kparams)
+    """Full-tree downward pass: M2L + P2L, then L2L top-down."""
+    local = jnp.zeros_like(mult)
+    perm_idx = dev["perm_idx"]
+    inv_perm = dev["inv_perm"]
+    for u_op, vt_op, tgt, src, perm in dev["m2l_groups"]:
+        x = mult[src]  # (m, p^d, r)
+        rows = perm_idx[perm]
+        xp_ = jnp.take_along_axis(x, rows[:, :, None], axis=1)
+        if vt_op is None:
+            y = jnp.einsum("pq,mqr->mpr", u_op, xp_)
+        else:
+            y = jnp.einsum("pk,mkr->mpr", u_op, jnp.einsum("kq,mqr->mkr", vt_op, xp_))
+        y = jnp.take_along_axis(y, inv_perm[perm][:, :, None], axis=1)
+        local = local.at[tgt].add(y)
+
+    p2l = dev["p2l"]
+    if p2l is not None:
+        tgt, src_row, centers, lengths = p2l
+        nodes_scaled = cheb.scale_nodes_to_cell(dev["nodes_nd"], centers, lengths, xp=jnp)
+        sidx = dev["src_bucket_idx"][src_row]
+        smask = dev["src_bucket_mask"][src_row]
+        spts = dev["pts_sorted"][sidx]
+        k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), 0.0)
+        wvals = jnp.where(smask[..., None], w_sorted[sidx], 0.0)
+        local = local.at[tgt].add(jnp.einsum("mps,msr->mpr", k, wvals))
+
+    for per_octant in dev["l2l_groups"]:
+        for o, (ch, pa) in enumerate(per_octant):
+            local = local.at[ch].add(
+                jnp.einsum("pq,cpr->cqr", dev["m2m_ops"][o], local[pa])
+            )
+    return local
+
+
+@_partial(jax.jit, static_argnames=("d", "p", "with_grads"))
+def _l2p(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads):
+    nodes_t = dev["nodes_t"]
+    tpts = targets[tgt_idx]
+    centers = dev["cell_centers"][tcells]
+    lengths = dev["cell_lengths"][tcells]
+    loc = local[tcells]
+    w_t, dw_t = cheb.anterpolation_weights(
+        tpts, centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
+    )
+    vals_b = jnp.einsum("ltp,lpr->ltr", w_t, loc)
+    if with_grads:
+        grads_b = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc)
+    else:
+        grads_b = jnp.zeros(vals_b.shape + (d,), jnp.float64)
+    return tpts, vals_b, grads_b
+
+
+@_partial(jax.jit, static_argnames=("kparams", "with_grads"))
+def _p2p_chunk(dev, tpts, trows, srows, w_sorted, vals_b, grads_b, *, kparams, with_grads):
+    kernel = make_kernel(kparams)
+    tp = tpts[trows]
+    sidx = dev["src_bucket_idx"][srows]
+    sm = dev["src_bucket_mask"][srows]
+    sp = dev["pts_sorted"][sidx]
+    wv = jnp.where(sm[..., None], w_sorted[sidx], 0.0)
+    if with_grads:
+        k, g = kernel.pair_with_grad(tp, sp)
+        k = jnp.where(sm[:, None, :], k, 0.0)
+        g = jnp.where(sm[:, None, :, None], g, 0.0)
+        vals_b = vals_b.at[trows].add(jnp.einsum("mts,msr->mtr", k, wv))
+        grads_b = grads_b.at[trows].add(jnp.einsum("mtsd,msr->mtrd", g, wv))
+    else:
+        k = jnp.where(sm[:, None, :], kernel.pair(tp, sp), 0.0)
+        vals_b = vals_b.at[trows].add(jnp.einsum("mts,msr->mtr", k, wv))
+    return vals_b, grads_b
+
+
+@_partial(jax.jit, static_argnames=("kparams", "with_grads"))
+def _m2p(dev, tpts, trows, wcells, wvalid, mult, vals_b, grads_b, *, kparams, with_grads):
+    kernel = make_kernel(kparams)
+    nodes_scaled = cheb.scale_nodes_to_cell(
+        dev["nodes_nd"], dev["cell_centers"][wcells], dev["cell_lengths"][wcells], xp=jnp
+    )
+    tp = tpts[trows]
+    mvals = mult[wcells] * wvalid[:, None, None]
+    if with_grads:
+        k, g = kernel.pair_with_grad(tp, nodes_scaled)
+        vals_b = vals_b.at[trows].add(jnp.einsum("mtp,mpr->mtr", k, mvals))
+        grads_b = grads_b.at[trows].add(jnp.einsum("mtpd,mpr->mtrd", g, mvals))
+    else:
+        k = kernel.pair(tp, nodes_scaled)
+        vals_b = vals_b.at[trows].add(jnp.einsum("mtp,mpr->mtr", k, mvals))
+    return vals_b, grads_b
+
+
+@_partial(jax.jit, static_argnames=("n", "d", "with_grads"))
+def _unbucket(tgt_idx, tgt_mask, vals_b, grads_b, *, n, d, with_grads):
+    nrhs = vals_b.shape[-1]
+    flat_idx = jnp.where(tgt_mask, tgt_idx, n).reshape(-1)
+    vals = jnp.zeros((n + 1, nrhs), jnp.float64)
+    vals = vals.at[flat_idx].add(vals_b.reshape(-1, nrhs), mode="drop")
+    if with_grads:
+        grads = jnp.zeros((n + 1, nrhs, d), jnp.float64)
+        grads = grads.at[flat_idx].add(grads_b.reshape(-1, nrhs, d), mode="drop")
+        return vals[:n], grads[:n].reshape(n, -1)
+    return vals[:n], jnp.zeros((0,), jnp.float64)
+
+
+class FmmTree:
+    """Black-box FMM over a fixed set of source points."""
+
+    def __init__(
+        self,
+        source_points,
+        interpolation_order: int,
+        kernel_params: KernelParams,
+        adaptive_tree: bool = True,
+        sparse: bool = False,
+        extents=None,
+        params: FmmParams | None = None,
+    ):
+        pts = np.asarray(source_points, np.float64)
+        if pts.ndim != 2 or pts.shape[1] not in (1, 2, 3):
+            raise ValueError(f"Unsupported source point shape {pts.shape}")
+        self._points = pts
+        self.p = int(interpolation_order)
+        self.d = pts.shape[1]
+        self.nnodes = self.p**self.d
+        self.kernel_params = kernel_params
+        self.kernel: Kernel = make_kernel(kernel_params)  # device closures
+        self.kernel_np: Kernel = make_kernel(kernel_params, xp=np)
+        self.params = params if params is not None else FmmParams(
+            interpolation_order=self.p, epsilon=10.0 ** (-self.p)
+        )
+
+        if extents is None:
+            extents = np.concatenate([pts.min(axis=0), pts.max(axis=0)])
+        center, radius = calculate_tree_center_and_radius(np.asarray(extents, np.float64))
+
+        self.tree: Octree = tree_mod.build_tree(
+            pts,
+            center,
+            radius,
+            self.params.max_points_per_cell,
+            store_empty_leaves=not sparse,
+            dimensions=self.d,
+            adaptive=adaptive_tree,
+        )
+        self._build_operators()
+        self._build_plan()
+        self._build_device_state()
+
+        self.nrhs = 1
+        self._multipole = None
+        self._local = None
+        self._weights_sorted = None
+        self._target_cache = {}
+
+    # ------------------------------------------------------------ operators
+    def _build_operators(self):
+        t = self.tree
+        nodes = cheb.chebyshev_nodes(self.p)
+        self.nodes_t, _ = cheb.chebyshev_polynomials(nodes, self.p)
+        self.nodes_nd = cheb.nodes_tensor_product(nodes, self.d)
+        self.m2m_ops = cheb.m2m_transfer_matrices(self.p, self.d)
+        self.perm_tables = m2l.build_permutation_tables(self.p, self.d)
+        compression = {
+            FmmCompressionType.None_: "None",
+            FmmCompressionType.SVD: "SVD",
+            FmmCompressionType.ACA: "ACA",
+        }[self.params.compression_type]
+        self.level_ops = m2l.build_level_operators(
+            self.kernel_np, self.p, self.d, t.radius, t.depth, compression,
+            self.params.epsilon,
+        )
+
+    # ------------------------------------------------------------ plan
+    def _build_plan(self):
+        t = self.tree
+        d = self.d
+
+        # --- source leaf buckets (P2M / P2P / P2L sources) ---------------
+        counts = np.diff(t.leaf_offsets)
+        smax = int(counts.max()) if counts.size else 1
+        nsl = t.leaf_cells.size
+        # one extra padding row (index nsl) with empty mask for chunk padding
+        src_idx = np.zeros((nsl + 1, smax), np.int64)
+        src_mask = np.zeros((nsl + 1, smax), bool)
+        for i in range(nsl):
+            lo, hi = t.leaf_offsets[i], t.leaf_offsets[i + 1]
+            src_idx[i, : hi - lo] = np.arange(lo, hi)
+            src_mask[i, : hi - lo] = True
+        self.smax = smax
+        self.nsl = nsl
+        self.src_leaf_cells = t.leaf_cells
+        self.src_bucket_idx = src_idx  # into the SORTED point arrays
+        self.src_bucket_mask = src_mask
+        self.points_sorted = self._points[t.point_order]
+        self.cell_to_src_row = np.full(t.num_cells, -1, np.int64)
+        self.cell_to_src_row[t.leaf_cells] = np.arange(nsl)
+
+        # --- M2M (has_points only) / L2L (all cells) level groups --------
+        def octant_groups(cells):
+            per_octant = []
+            octants = t.child_octant[cells]
+            for o in range(1 << d):
+                ch = cells[octants == o]
+                per_octant.append((ch, t.parent[ch]))
+            return per_octant
+
+        self.m2m_groups = []  # deep -> shallow
+        self.l2l_groups = []  # SHALLOW -> deep (apply order)
+        for level in range(t.depth, 0, -1):
+            cells = t.cells_at_level(level)
+            if cells.size == 0:
+                continue
+            up_cells = cells[t.has_points[cells]]
+            if up_cells.size:
+                self.m2m_groups.append(octant_groups(up_cells))
+        for level in range(1, t.depth + 1):
+            cells = t.cells_at_level(level)
+            if cells.size:
+                self.l2l_groups.append(octant_groups(cells))
+
+        # --- M2L groups: per level, per reference operator ----------------
+        pt = self.perm_tables
+        vp = t.v_pairs
+        if vp.shape[0]:
+            vp = vp[t.has_points[vp[:, 1]]]
+        lv = t.levels[vp[:, 0]] if vp.shape[0] else np.zeros(0, np.int64)
+        self.m2l_groups = []  # (level, ref, tgt, src, perm_row)
+        for level in range(2, t.depth + 1):
+            sel = vp[lv == level] if vp.shape[0] else vp
+            if sel.shape[0] == 0:
+                continue
+            refs = pt.ref_lookup[sel[:, 2]]
+            perms = pt.perm_lookup[sel[:, 2]]
+            for r in range(pt.num_reference):
+                m = refs == r
+                if np.any(m):
+                    self.m2l_groups.append((level, r, sel[m, 0], sel[m, 1], perms[m]))
+
+        # --- P2L groups (x list) ------------------------------------------
+        xp = t.x_pairs
+        if xp.shape[0]:
+            rows = self.cell_to_src_row[xp[:, 1]]
+            keep = rows >= 0
+            self.p2l_tgt = xp[keep, 0]
+            self.p2l_src_row = rows[keep]
+        else:
+            self.p2l_tgt = np.zeros(0, np.int64)
+            self.p2l_src_row = np.zeros(0, np.int64)
+
+        # --- u/w pair lookup sorted by target cell ------------------------
+        self._u_sorted = t.u_pairs[np.argsort(t.u_pairs[:, 0], kind="stable")]
+        self._w_sorted = t.w_pairs[np.argsort(t.w_pairs[:, 0], kind="stable")]
+
+        all_cells = np.arange(t.num_cells)
+        self.cell_centers = t.cell_centers(all_cells)
+        self.cell_lengths = t.cell_lengths(all_cells)
+
+    # ------------------------------------------------------- device state
+    def _build_device_state(self):
+        d = self.d
+
+        src_bucket_idx = jnp.asarray(self.src_bucket_idx)
+        src_bucket_mask = jnp.asarray(self.src_bucket_mask)
+        pts_sorted = jnp.asarray(self.points_sorted)
+        src_centers = self.cell_centers[self.src_leaf_cells]
+        src_lengths = self.cell_lengths[self.src_leaf_cells]
+
+        # P2M anterpolation weights are fixed per tree: (nsl, smax, p^d)
+        src_pts_b = pts_sorted[src_bucket_idx[: self.nsl]]
+        w_src, _ = cheb.anterpolation_weights(
+            src_pts_b, jnp.asarray(src_centers), jnp.asarray(src_lengths),
+            self.nodes_t, d, xp=jnp,
+        )
+        w_src = jnp.where(src_bucket_mask[: self.nsl, :, None], w_src, 0.0)
+
+        p2l = None
+        if self.p2l_tgt.size:
+            p2l = (
+                jnp.asarray(self.p2l_tgt),
+                jnp.asarray(self.p2l_src_row),
+                jnp.asarray(self.cell_centers[self.p2l_tgt]),
+                jnp.asarray(self.cell_lengths[self.p2l_tgt]),
+            )
+
+        self._dev = {
+            "point_order": jnp.asarray(self.tree.point_order),
+            "pts_sorted": pts_sorted,
+            "src_bucket_idx": src_bucket_idx,
+            "src_bucket_mask": src_bucket_mask,
+            "src_leaf_cells": jnp.asarray(self.src_leaf_cells),
+            "w_src": w_src,
+            "m2m_ops": jnp.asarray(self.m2m_ops),
+            "m2m_groups": [
+                [(jnp.asarray(ch), jnp.asarray(pa)) for ch, pa in grp]
+                for grp in self.m2m_groups
+            ],
+            "l2l_groups": [
+                [(jnp.asarray(ch), jnp.asarray(pa)) for ch, pa in grp]
+                for grp in self.l2l_groups
+            ],
+            "perm_idx": jnp.asarray(self.perm_tables.perm_indices),
+            "inv_perm": jnp.asarray(self.perm_tables.inverse_perm),
+            "m2l_groups": [
+                (
+                    jnp.asarray(self.level_ops[level][r][0]),
+                    None
+                    if self.level_ops[level][r][1] is None
+                    else jnp.asarray(self.level_ops[level][r][1]),
+                    jnp.asarray(tgt),
+                    jnp.asarray(src),
+                    jnp.asarray(perm),
+                )
+                for (level, r, tgt, src, perm) in self.m2l_groups
+            ],
+            "p2l": p2l,
+            "nodes_nd": jnp.asarray(self.nodes_nd),
+            "cell_centers": jnp.asarray(self.cell_centers),
+            "cell_lengths": jnp.asarray(self.cell_lengths),
+        }
+
+        self._dev["nodes_t"] = jnp.asarray(self.nodes_t)
+
+    # ---------------------------------------------------------- weights
+    @property
+    def source_points(self) -> np.ndarray:
+        return self._points
+
+    def set_weights(self, weights) -> None:
+        """Upward pass (P2M + M2M) over cells with sources."""
+        w = jnp.asarray(np.asarray(weights, np.float64).reshape(self._points.shape[0], -1))
+        self.nrhs = int(w.shape[1])
+        self._multipole, self._weights_sorted = _upward(self._dev, w)
+        self._local = None
+
+    def set_local_coefficients(self, weights) -> None:
+        """Full-tree downward pass; enables ``evaluate_leaves``."""
+        if self._multipole is None:
+            self.set_weights(weights)
+        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
+
+    # --------------------------------------------------------- evaluation
+    def _bin_targets(self, target_points, reuse_key=None):
+        """Host-side target bucketing with power-of-two shape quantisation."""
+        if reuse_key is not None and reuse_key in self._target_cache:
+            return self._target_cache[reuse_key]
+
+        targets = np.asarray(target_points, np.float64)
+        n = targets.shape[0]
+        leaf_of_target = self.tree.points_to_leaves(targets)
+        tcells, tinv = np.unique(leaf_of_target, return_inverse=True)
+        order = np.argsort(tinv, kind="stable")
+        counts = np.bincount(tinv, minlength=tcells.size)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        ntl = tcells.size
+        tmax = _next_pow2(int(counts.max()) if counts.size else 1)
+        ntl_pad = _next_pow2(ntl)
+        tgt_idx = np.zeros((ntl_pad, tmax), np.int64)
+        tgt_mask = np.zeros((ntl_pad, tmax), bool)
+        for i in range(ntl):
+            lo, hi = offsets[i], offsets[i + 1]
+            tgt_idx[i, : hi - lo] = order[lo:hi]
+            tgt_mask[i, : hi - lo] = True
+        tcells_pad = np.zeros(ntl_pad, np.int64)
+        tcells_pad[:ntl] = tcells
+
+        def pairs_for(sorted_pairs, map_src):
+            lohi = np.searchsorted(sorted_pairs[:, 0], np.stack([tcells, tcells + 1], 1))
+            cnts = lohi[:, 1] - lohi[:, 0]
+            trows = np.repeat(np.arange(ntl), cnts)
+            scat = (
+                np.concatenate([sorted_pairs[lo:hi, 1] for lo, hi in lohi])
+                if np.any(cnts)
+                else np.zeros(0, np.int64)
+            )
+            if map_src:
+                srows = self.cell_to_src_row[scat]
+                keep = srows >= 0
+                return trows[keep], srows[keep]
+            keep = self.tree.has_points[scat]
+            return trows[keep], scat[keep]
+
+        p2p_t, p2p_s = pairs_for(self._u_sorted, map_src=True)
+        m2p_t, m2p_s = pairs_for(self._w_sorted, map_src=False)
+
+        # pad the P2P pair list to a multiple of the chunk size with the
+        # empty-mask padding source row (self.nsl)
+        chunk = max(1, int(2**22 // max(tmax * self.smax, 1)))
+        npairs = p2p_t.size
+        if npairs:
+            npairs_pad = ((npairs + chunk - 1) // chunk) * chunk
+            pad = npairs_pad - npairs
+            p2p_t = np.concatenate([p2p_t, np.zeros(pad, np.int64)])
+            p2p_s = np.concatenate([p2p_s, np.full(pad, self.nsl, np.int64)])
+
+        m2p_valid = m2p_t.size
+        if m2p_valid:
+            m2p_pad = _next_pow2(m2p_valid)
+            pad = m2p_pad - m2p_valid
+            m2p_w = np.concatenate([np.ones(m2p_valid), np.zeros(pad)])
+            m2p_t = np.concatenate([m2p_t, np.zeros(pad, np.int64)])
+            m2p_s = np.concatenate([m2p_s, np.zeros(pad, np.int64)])
+        else:
+            m2p_w = np.zeros(0)
+
+        binned = {
+            "tcells": tcells_pad,
+            "tgt_idx": tgt_idx,
+            "tgt_mask": tgt_mask,
+            "p2p_t": p2p_t,
+            "p2p_s": p2p_s,
+            "chunk": chunk,
+            "m2p_t": m2p_t,
+            "m2p_s": m2p_s,
+            "m2p_w": m2p_w,
+            "ntargets": n,
+        }
+        if reuse_key is not None:
+            self._target_cache[reuse_key] = binned
+        return binned
+
+    def _leaf_pass(self, targets, binned, with_grads: bool):
+        targets_j = jnp.asarray(np.asarray(targets, np.float64))
+        tgt_idx = jnp.asarray(binned["tgt_idx"])
+        tgt_mask = jnp.asarray(binned["tgt_mask"])
+        tcells = jnp.asarray(binned["tcells"])
+
+        tpts, vals_b, grads_b = _l2p(
+            self._dev, targets_j, tgt_idx, tgt_mask, tcells, self._local,
+            d=self.d, p=self.p, with_grads=with_grads,
+        )
+
+        p2p_t, p2p_s, chunk = binned["p2p_t"], binned["p2p_s"], binned["chunk"]
+        for start in range(0, p2p_t.size, chunk):
+            vals_b, grads_b = _p2p_chunk(
+                self._dev,
+                tpts,
+                jnp.asarray(p2p_t[start : start + chunk]),
+                jnp.asarray(p2p_s[start : start + chunk]),
+                self._weights_sorted,
+                vals_b,
+                grads_b,
+                kparams=self.kernel_params,
+                with_grads=with_grads,
+            )
+
+        if binned["m2p_t"].size:
+            vals_b, grads_b = _m2p(
+                self._dev,
+                tpts,
+                jnp.asarray(binned["m2p_t"]),
+                jnp.asarray(binned["m2p_s"]),
+                jnp.asarray(binned["m2p_w"]),
+                self._multipole,
+                vals_b,
+                grads_b,
+                kparams=self.kernel_params,
+                with_grads=with_grads,
+            )
+
+        n = binned["ntargets"]
+        vals, grads = _unbucket(
+            tgt_idx, tgt_mask, vals_b, grads_b, n=n, d=self.d, with_grads=with_grads
+        )
+        if with_grads:
+            return np.asarray(vals), np.asarray(grads)
+        return np.asarray(vals), None
+
+    def _check_gradients(self):
+        if not self.kernel.supports_gradients:
+            raise KernelDoesNotSupportGradientsError()
+
+    def evaluate(self, weights, target_points, reuse_key=None) -> np.ndarray:
+        """Downward + leaf pass at ``target_points`` (full mode)."""
+        if self._multipole is None:
+            self.set_weights(weights)
+        binned = self._bin_targets(target_points, reuse_key)
+        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
+        vals, _ = self._leaf_pass(target_points, binned, with_grads=False)
+        return vals
+
+    def evaluate_with_gradients(self, weights, target_points, reuse_key=None):
+        self._check_gradients()
+        if self._multipole is None:
+            self.set_weights(weights)
+        binned = self._bin_targets(target_points, reuse_key)
+        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
+        return self._leaf_pass(target_points, binned, with_grads=True)
+
+    def evaluate_leaves(self, weights, target_points, reuse_key=None) -> np.ndarray:
+        """Leaf pass only (after ``set_local_coefficients``)."""
+        if self._local is None:
+            raise RuntimeError("call set_local_coefficients before evaluate_leaves")
+        binned = self._bin_targets(target_points, reuse_key)
+        vals, _ = self._leaf_pass(target_points, binned, with_grads=False)
+        return vals
+
+    def evaluate_leaves_with_gradients(self, weights, target_points, reuse_key=None):
+        self._check_gradients()
+        if self._local is None:
+            raise RuntimeError("call set_local_coefficients before evaluate_leaves")
+        binned = self._bin_targets(target_points, reuse_key)
+        return self._leaf_pass(target_points, binned, with_grads=True)
