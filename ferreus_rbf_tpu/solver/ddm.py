@@ -1,0 +1,403 @@
+"""Multilevel overlapping domain decomposition for Schwarz preconditioning.
+
+Maps ``ferreus_rbf/src/preconditioning/domain_decomposition.rs`` (Beatson/
+Light/Billings 2000; Haase et al. 2018): per level, recursive median split
+along the longest axis into leaf domains of ~``leaf_threshold`` points;
+per leaf, the coarse set is a centroid-closest seed plus farthest-point
+sampling of ``coarse_ratio`` of the internal points, and the overlap is the
+nearest neighbouring-internal points ranked by point-to-AABB distance;
+levels recurse on the coarse sets until ``coarse_threshold``, which gets a
+single directly-factored coarse domain (with the polynomial tail when a
+drift is present).
+
+TPU-first split: the decomposition combinatorics (median splits, FPS,
+AABB neighbour search, pivoted-QR special points) run on the host; the
+expensive part — assembling and Cholesky-factoring every leaf's QTAQ system
+and back-solving them each iteration — is batched on the device. Leaves are
+grouped into (padded-size, rank) buckets so each bucket is one stacked
+``cholesky``/``triangular_solve`` over the MXU. Factors can be held in f32:
+right-preconditioned *flexible* GMRES tolerates an inexact preconditioner,
+and halving factor memory doubles the problem size that fits in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial as _partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.linalg
+
+from ..config import DDMParams
+from ..interpolant_config import InterpolantSettings
+from ..ops.kernels import make_kernel
+from ..ops.polynomials import (
+    evaluate_lagrange_polynomials,
+    evaluate_monomials,
+    get_lagrange_coefficients,
+)
+from ..utils.common import farthest_point_sampling, get_cheb_cube_scaling_factors
+from .domain import Domain, _rank_from_pivoted_qr
+
+_RANK_TOL = 1e-10
+
+
+@dataclasses.dataclass
+class LeafPlan:
+    """Host-side description of one overlapping leaf domain."""
+
+    point_indices: np.ndarray  # QTAQ order: special points first
+    internal_mask: np.ndarray
+    extents: np.ndarray
+    q_top: np.ndarray | None  # (k, n-k) or None when no drift
+    rank: int
+
+
+@dataclasses.dataclass
+class LevelBuckets:
+    """Device solve plan for one level: leaves grouped by (padded n, rank)."""
+
+    buckets: list  # of dict(pts_idx, mask, internal, q_top, chol)
+
+
+class Level:
+    def __init__(self, point_indices: np.ndarray):
+        self.point_indices = np.asarray(point_indices, np.int64)
+        self.leaf_plans: list[LeafPlan] = []
+        self.device: LevelBuckets | None = None
+
+
+def _next_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _leaf_qtaq_structure(points, indices, internal_mask, settings, global_trend):
+    """Special-point selection + Q_top for one leaf (host; mirrors
+    ``domain.rs:164-327`` without assembling A)."""
+    dpts = points[indices]
+    translation, scale = get_cheb_cube_scaling_factors(dpts)
+    mpts = (
+        global_trend.inverse_transform_points(dpts) if global_trend is not None else dpts
+    )
+    monomials = evaluate_monomials(
+        mpts, settings.polynomial_degree, settings.basis_size, translation, scale
+    )
+    _, rc, piv = scipy.linalg.qr(monomials, mode="economic", pivoting=True)
+    rank = _rank_from_pivoted_qr(rc)
+    cols = np.sort(piv[:rank])
+    frm = monomials[:, cols]
+    _, _, piv2 = scipy.linalg.qr(frm.T, mode="economic", pivoting=True)
+    special = np.sort(piv2[:rank])
+    is_special = np.zeros(indices.size, bool)
+    is_special[special] = True
+    non_special = np.nonzero(~is_special)[0]
+    order = np.concatenate([special, non_special])
+    lagrange = get_lagrange_coefficients(frm[special])
+    q_top = -evaluate_lagrange_polynomials(frm[non_special], lagrange).T
+    return indices[order], internal_mask[order], q_top, rank
+
+
+@_partial(jax.jit, static_argnames=("kparams", "nugget", "k", "dtype"))
+def _factor_bucket(pts, mask, q_top, *, kparams, nugget, k, dtype):
+    """Batched QTAQ assembly + Cholesky for one (S, k) bucket.
+
+    pts (nb, S, d); mask (nb, S); q_top (nb, k, S-k). Padded rows/cols are
+    replaced by identity so the padded system stays SPD.
+    """
+    kernel = make_kernel(kparams)
+    a = kernel.pair(pts, pts)
+    s = pts.shape[1]
+    eye = jnp.eye(s, dtype=jnp.float64)
+    a = a + nugget * eye
+    outer = mask[:, :, None] & mask[:, None, :]
+    a = jnp.where(outer, a, eye[None])
+    if k:
+        a11 = a[:, :k, :k]
+        a12 = a[:, :k, k:]
+        a21 = a[:, k:, :k]
+        a22 = a[:, k:, k:]
+        lhs = (
+            jnp.einsum("bkm,bkl,bln->bmn", q_top, a11, q_top)
+            + jnp.einsum("bkm,bkn->bmn", q_top, a12)
+            + jnp.einsum("bmk,bkn->bmn", a21, q_top)
+            + a22
+        )
+    else:
+        lhs = a
+    chol = jnp.linalg.cholesky(lhs)
+    return chol.astype(dtype)
+
+
+@_partial(jax.jit, static_argnames=("k", "n_out"))
+def _solve_bucket(residual, pts_idx, mask, internal, q_top, chol, *, k, n_out):
+    """Batched local solves; returns the scattered internal coefficients.
+
+    residual (n_total, nrhs); output (n_out, nrhs) with internal-point rows
+    filled (disjoint across domains by DDM construction).
+    """
+    nrhs = residual.shape[1]
+    d = residual[pts_idx] * mask[..., None]  # (nb, S, nrhs)
+    if k:
+        rhs = jnp.einsum("bkm,bkr->bmr", q_top, d[:, :k]) + d[:, k:]
+    else:
+        rhs = d
+    cholf = chol.astype(jnp.float64)
+    y = jax.scipy.linalg.solve_triangular(cholf, rhs, lower=True)
+    gamma = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(cholf, -1, -2), y, lower=False
+    )
+    if k:
+        lam = jnp.concatenate([jnp.einsum("bkm,bmr->bkr", q_top, gamma), gamma], axis=1)
+    else:
+        lam = gamma
+    out = jnp.zeros((n_out + 1, nrhs), jnp.float64)
+    idx = jnp.where(internal & mask, pts_idx, n_out).reshape(-1)
+    out = out.at[idx].add(lam.reshape(-1, nrhs), mode="drop")
+    return out[:n_out]
+
+
+class DDMTree:
+    """The multilevel overlapping decomposition, finest level first."""
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        interpolant_settings: InterpolantSettings,
+        ddm_params: DDMParams,
+        global_trend=None,
+        factor_dtype=jnp.float64,
+    ):
+        self.points = np.asarray(points, np.float64)
+        self.settings = interpolant_settings
+        self.params = ddm_params
+        self.global_trend = global_trend
+        self.factor_dtype = factor_dtype
+        self.levels: list[Level] = []
+        self._build()
+
+    # -------------------------------------------------------------- build
+    def _build(self):
+        pts = self.points
+        n, d = pts.shape
+        p = self.params
+        active = np.arange(n)
+
+        while active.size > p.coarse_threshold:
+            level = Level(active)
+            # --- recursive median split (FIFO, like the reference) -------
+            queue = [(active, self._extents_of(active))]
+            leaves_raw = []
+            while queue:
+                idx, ext = queue.pop(0)
+                cur = pts[idx]
+                spans = cur.max(axis=0) - cur.min(axis=0)
+                axis = int(np.argmax(spans))
+                order = np.argsort(cur[:, axis], kind="stable")
+                mid = idx.size // 2
+                left = np.sort(idx[order[:mid]])
+                right = np.sort(idx[order[mid:]])
+                mid_coord = pts[idx[order[mid]], axis]
+                lext = ext.copy()
+                lext[axis + d] = mid_coord
+                rext = ext.copy()
+                rext[axis] = mid_coord
+                if idx.size * (1.0 + p.overlap_quota) >= 2.0 * p.leaf_threshold:
+                    queue.append((left, lext))
+                    queue.append((right, rext))
+                else:
+                    leaves_raw.append((left, lext))
+                    leaves_raw.append((right, rext))
+
+            nleaves = len(leaves_raw)
+            num_coarse = int(
+                np.ceil(np.ceil(active.size * p.coarse_ratio) / nleaves)
+            )
+
+            # --- coarse point selection per leaf --------------------------
+            coarse_all = []
+            for idx, _ext in leaves_raw:
+                internal_points = pts[idx]
+                sample = min(idx.size, num_coarse)
+                center = internal_points.mean(axis=0)
+                dist = np.linalg.norm(internal_points - center, axis=1)
+                seed = int(np.argmin(dist))
+                sel = farthest_point_sampling(internal_points, sample, seed)
+                coarse_all.append(np.sort(idx[sel]))
+
+            # --- overlap from neighbouring leaves' internal points --------
+            exts = np.stack([ext for _idx, ext in leaves_raw])
+            lo, hi = exts[:, :d], exts[:, d:]
+            # AABB intersection (touching counts), excluding self
+            inter = np.all(
+                (lo[:, None, :] <= hi[None, :, :]) & (hi[:, None, :] >= lo[None, :, :]),
+                axis=2,
+            )
+            np.fill_diagonal(inter, False)
+
+            plans = []
+            for i, (idx, ext) in enumerate(leaves_raw):
+                nbr = np.nonzero(inter[i])[0]
+                nbr_idx = (
+                    np.concatenate([leaves_raw[j][0] for j in nbr])
+                    if nbr.size
+                    else np.zeros(0, np.int64)
+                )
+                num_overlap = int(np.ceil(idx.size * 2 * p.overlap_quota))
+                if nbr_idx.size:
+                    clipped = np.clip(pts[nbr_idx], ext[:d], ext[d:])
+                    dist = np.linalg.norm(pts[nbr_idx] - clipped, axis=1)
+                    take = np.argsort(dist, kind="stable")[:num_overlap]
+                    overlap_idx = nbr_idx[take]
+                else:
+                    overlap_idx = np.zeros(0, np.int64)
+                all_idx = np.concatenate([idx, overlap_idx])
+                internal = np.concatenate(
+                    [np.ones(idx.size, bool), np.zeros(overlap_idx.size, bool)]
+                )
+                if self.settings.basis_size != 0:
+                    all_idx, internal, q_top, rank = _leaf_qtaq_structure(
+                        pts, all_idx, internal, self.settings, self.global_trend
+                    )
+                else:
+                    q_top, rank = None, 0
+                plans.append(
+                    LeafPlan(all_idx, internal, ext, q_top, rank)
+                )
+
+            level.leaf_plans = plans
+            self._factorise_level(level)
+            self.levels.append(level)
+            active = np.sort(np.concatenate(coarse_all))
+
+        # --- coarse level: one direct domain (host) -----------------------
+        coarse_level = Level(active)
+        dom = Domain(active.copy())
+        dom.internal_points_mask = np.ones(active.size, bool)
+        dom.factorise(
+            pts, self.settings, self.settings.basis_size != 0, self.global_trend
+        )
+        coarse_level.coarse_domain = dom
+        self.levels.append(coarse_level)
+
+    def _extents_of(self, idx):
+        sel = self.points[idx]
+        return np.concatenate([sel.min(axis=0), sel.max(axis=0)])
+
+    # ---------------------------------------------------------- device plan
+    def _factorise_level(self, level: Level):
+        """Group leaves into (S, k) buckets; batched factor on device."""
+        kparams = self.settings.kernel_params()
+        nugget = self.settings.nugget
+        groups = {}
+        for plan in level.leaf_plans:
+            s_pad = _next_multiple(max(plan.point_indices.size, 8), 64)
+            groups.setdefault((s_pad, plan.rank), []).append(plan)
+
+        buckets = []
+        for (s_pad, k), plans in groups.items():
+            nb = len(plans)
+            pts_idx = np.zeros((nb, s_pad), np.int64)
+            mask = np.zeros((nb, s_pad), bool)
+            internal = np.zeros((nb, s_pad), bool)
+            q_top = np.zeros((nb, k, s_pad - k))
+            for b, plan in enumerate(plans):
+                npts = plan.point_indices.size
+                pts_idx[b, :npts] = plan.point_indices
+                mask[b, :npts] = True
+                internal[b, :npts] = plan.internal_mask
+                if k:
+                    q_top[b, :, : npts - k] = plan.q_top
+            pts_b = self.points[pts_idx]
+            chol = _factor_bucket(
+                jnp.asarray(pts_b),
+                jnp.asarray(mask),
+                jnp.asarray(q_top),
+                kparams=kparams,
+                nugget=nugget,
+                k=k,
+                dtype=self.factor_dtype,
+            )
+            if bool(jnp.any(jnp.isnan(chol))):
+                # numerically indefinite bucket: re-factor the offending
+                # domains on the host with the LDL fallback (``domain.rs:63``)
+                chol = np.asarray(chol)
+                bad = np.nonzero(np.isnan(chol).any(axis=(1, 2)))[0]
+                chol = self._host_refactor(plans, chol, bad, k)
+                chol = jnp.asarray(chol)
+            buckets.append(
+                {
+                    "pts_idx": jnp.asarray(pts_idx),
+                    "mask": jnp.asarray(mask),
+                    "internal": jnp.asarray(internal),
+                    "q_top": jnp.asarray(q_top),
+                    "chol": chol,
+                    "k": k,
+                }
+            )
+        level.device = LevelBuckets(buckets)
+
+    def _host_refactor(self, plans, chol, bad, k):
+        """Host fallback for non-SPD leaves: dense Cholesky with jitter."""
+        from ..ops.dense import get_a_matrix_symmetric_solver
+
+        kparams = self.settings.kernel_params()
+        for b in bad:
+            plan = plans[b]
+            dpts = self.points[plan.point_indices]
+            a = np.asarray(
+                get_a_matrix_symmetric_solver(dpts, kparams, self.settings.nugget, xp=np)
+            )
+            if k:
+                q = plan.q_top
+                a11, a12 = a[:k, :k], a[:k, k:]
+                a21, a22 = a[k:, :k], a[k:, k:]
+                lhs = q.T @ (a11 @ q) + q.T @ a12 + a21 @ q + a22
+            else:
+                lhs = a
+            # symmetric-indefinite rescue: add a tiny diagonal shift
+            shift = 1e-12 * np.abs(np.diag(lhs)).max()
+            for _ in range(8):
+                try:
+                    l = np.linalg.cholesky(lhs + shift * np.eye(lhs.shape[0]))
+                    break
+                except np.linalg.LinAlgError:
+                    shift *= 10.0
+            npad = chol.shape[1]
+            l_pad = np.eye(npad, dtype=chol.dtype)
+            l_pad[: l.shape[0], : l.shape[1]] = l
+            chol[b] = l_pad
+        return chol
+
+    # ------------------------------------------------------------- solves
+    def solve_fine_level(self, level_idx: int, residual: np.ndarray) -> np.ndarray:
+        """All leaf solves of one level; returns internal-row coefficients."""
+        level = self.levels[level_idx]
+        res = jnp.asarray(residual)
+        n_out = residual.shape[0]
+        out = jnp.zeros((n_out, residual.shape[1]), jnp.float64)
+        for bucket in level.device.buckets:
+            out = out + _solve_bucket(
+                res,
+                bucket["pts_idx"],
+                bucket["mask"],
+                bucket["internal"],
+                bucket["q_top"],
+                bucket["chol"],
+                k=bucket["k"],
+                n_out=n_out,
+            )
+        return np.asarray(out)
+
+    def solve_coarse(self, residual: np.ndarray, add_poly: bool) -> np.ndarray:
+        """Direct coarse solve; optionally returns the polynomial tail."""
+        coarse = self.levels[-1]
+        dom: Domain = coarse.coarse_domain
+        sol = dom.solve(residual)
+        out = np.zeros_like(residual)
+        out[dom.overlapping_point_indices] = sol.point_coefficients
+        if dom.solve_for_poly and add_poly and sol.poly_coefficients is not None:
+            m = sol.poly_coefficients.shape[0]
+            out[-m:] = sol.poly_coefficients
+        return out

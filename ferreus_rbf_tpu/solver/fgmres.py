@@ -1,0 +1,194 @@
+"""Flexible GMRES and the stationary Schwarz-DDM iteration.
+
+Ports the solver semantics of ``ferreus_rbf/src/iterative_solvers.rs``:
+restarted FGMRES (Saad) with right preconditioning, modified Gram-Schmidt,
+Givens rotations (LAPACK dlartg behaviour), and the reference's exact
+stopping rules — Absolute -> max-norm of the initial residual as beta and
+|g| directly; Relative -> l2 norm and |g|/beta (``iterative_solvers.rs:
+38-173``). The driver loop runs on the host (it is a handful of
+O(n)-vector operations per iteration); the heavy operators — the FMM matvec
+and the Schwarz preconditioner — execute on the device.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..interpolant_config import FittingAccuracy, FittingAccuracyType
+from ..progress import Progress, SolverIteration, emit, progress_from_rel
+
+
+def givens_rotation(f: float, g: float):
+    """(c, s, r) with [c s; -s c] [f; g] = [r; 0] (dlartg semantics)."""
+    safmin = np.finfo(np.float64).tiny
+    safmax = np.finfo(np.float64).max
+    rtmin = math.sqrt(safmin)
+    rtmax = math.sqrt(safmax / 2.0)
+
+    if g == 0.0:
+        return 1.0, 0.0, f
+    if f == 0.0:
+        return 0.0, math.copysign(1.0, g), abs(g)
+
+    f1, g1 = abs(f), abs(g)
+    if rtmin <= f1 < rtmax and rtmin <= g1 < rtmax:
+        r = math.copysign(math.sqrt(f * f + g * g), f)
+        return f1 / abs(r), g / r, r
+    u = min(max(max(f1, g1), safmin), safmax)
+    fs, gs = f / u, g / u
+    mag = math.sqrt(fs * fs + gs * gs)
+    r = math.copysign(mag, f) * u
+    return abs(fs) / mag, gs / mag, r
+
+
+def fgmres(
+    a: Callable[[np.ndarray], np.ndarray],
+    b: np.ndarray,
+    m: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    x0: Optional[np.ndarray] = None,
+    max_outer_iterations: int = 20,
+    max_inner_iterations: int = 5,
+    tolerance: FittingAccuracy = None,
+    callback: Optional[Progress] = None,
+) -> np.ndarray:
+    """Solve A x = b by restarted right-preconditioned flexible GMRES."""
+    tolerance = tolerance or FittingAccuracy()
+    b = np.asarray(b, np.float64).reshape(-1, 1)
+    n = b.shape[0]
+    x = np.zeros((n, 1)) if x0 is None else np.asarray(x0, np.float64).copy()
+
+    r = b - a(x)
+    if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+        beta = np.max(np.abs(r[:, 0]))
+    else:
+        beta = np.linalg.norm(r[:, 0])
+    if beta == 0.0:
+        return x
+
+    iteration = 1
+    mi = max_inner_iterations
+
+    for _outer in range(max_outer_iterations):
+        v = np.zeros((n, mi + 1))
+        h = np.zeros((mi + 1, mi))
+        z = np.zeros((n, mi))
+        g = np.zeros(mi + 1)
+        cs = np.zeros(mi)
+        sn = np.zeros(mi)
+
+        r_norm = np.linalg.norm(r)
+        v[:, 0] = r[:, 0] / r_norm
+        g[0] = r_norm
+
+        for j in range(mi):
+            w = m(v[:, j : j + 1]) if m is not None else v[:, j : j + 1].copy()
+            z[:, j] = w[:, 0]
+            wj = a(w)[:, 0]
+
+            # modified Gram-Schmidt
+            for i in range(j + 1):
+                hij = float(v[:, i] @ wj)
+                h[i, j] = hij
+                wj = wj - v[:, i] * hij
+            norm = np.linalg.norm(wj)
+            h[j + 1, j] = norm
+
+            for i in range(j):
+                temp = cs[i] * h[i, j] + sn[i] * h[i + 1, j]
+                h[i + 1, j] = -sn[i] * h[i, j] + cs[i] * h[i + 1, j]
+                h[i, j] = temp
+
+            c, s, _ = givens_rotation(h[j, j], h[j + 1, j])
+            h[j, j] = c * h[j, j] + s * h[j + 1, j]
+            h[j + 1, j] = 0.0
+            temp = c * g[j] + s * g[j + 1]
+            g[j + 1] = -s * g[j] + c * g[j + 1]
+            g[j] = temp
+            cs[j], sn[j] = c, s
+
+            if norm != 0.0:
+                v[:, j + 1] = wj / norm
+
+            if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+                res_norm = abs(g[j + 1])
+            else:
+                res_norm = abs(g[j + 1]) / beta
+
+            emit(
+                callback,
+                SolverIteration(
+                    iter=iteration,
+                    residual=res_norm,
+                    progress=progress_from_rel(res_norm, beta, tolerance.tolerance),
+                ),
+            )
+
+            if res_norm < tolerance.tolerance:
+                x = x + _solution(h, g, z, j + 1)
+                return x
+            iteration += 1
+
+        x = x + _solution(h, g, z, mi)
+        r = b - a(x)
+        if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+            res_norm = np.max(np.abs(r))
+        else:
+            res_norm = np.linalg.norm(r) / beta
+        if res_norm < tolerance.tolerance:
+            break
+
+    return x
+
+
+def _solution(h, g, z, i):
+    import scipy.linalg
+
+    y = scipy.linalg.solve_triangular(h[:i, :i], g[:i], lower=False)
+    return (z[:, :i] @ y)[:, None]
+
+
+def schwarz_ddm_solver(
+    matvec: Callable[[np.ndarray], np.ndarray],
+    rhs: np.ndarray,
+    m: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    max_iterations: int = 100,
+    tolerance: FittingAccuracy = None,
+    callback: Optional[Progress] = None,
+) -> np.ndarray:
+    """Stationary iteration s += M(r); r = b - A s (``iterative_solvers.rs:234``)."""
+    tolerance = tolerance or FittingAccuracy()
+    rhs = np.asarray(rhs, np.float64).reshape(-1, 1)
+    rg = rhs.copy()
+    sg = np.zeros_like(rhs)
+
+    if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+        beta = np.max(np.abs(rg[:, 0]))
+    else:
+        beta = np.linalg.norm(rg[:, 0])
+    res_norm = beta
+    iteration = 0
+
+    if m is None:
+        return sg
+
+    while res_norm > tolerance.tolerance and iteration < max_iterations:
+        sg = sg + m(rg)
+        rg = rhs - matvec(sg)
+        if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+            res_norm = np.max(np.abs(rg))
+        else:
+            res_norm = np.linalg.norm(rg) / beta
+        iteration += 1
+        emit(
+            callback,
+            SolverIteration(
+                iter=iteration,
+                residual=res_norm,
+                progress=progress_from_rel(res_norm, beta, tolerance.tolerance),
+            ),
+        )
+
+    return sg

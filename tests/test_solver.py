@@ -1,0 +1,218 @@
+"""Iterative solver stack tests: FGMRES units, DDM hierarchy invariants
+(ports of ``domain_decomposition.rs:361-597``), and end-to-end iterative
+fits through the public interpolator."""
+
+import numpy as np
+import pytest
+
+import ferreus_rbf_tpu as frt
+from ferreus_rbf_tpu.config import DDMParams, Params, Solvers
+from ferreus_rbf_tpu.interpolant_config import FittingAccuracy, FittingAccuracyType
+from ferreus_rbf_tpu.solver.ddm import DDMTree
+from ferreus_rbf_tpu.solver.fgmres import fgmres, givens_rotation, schwarz_ddm_solver
+
+
+# ------------------------------------------------------------------ FGMRES
+def test_givens_rotation_annihilates():
+    rng = np.random.default_rng(0)
+    for f, g in rng.standard_normal((20, 2)):
+        c, s, r = givens_rotation(f, g)
+        np.testing.assert_allclose(c * f + s * g, r, atol=1e-12)
+        np.testing.assert_allclose(-s * f + c * g, 0.0, atol=1e-12)
+        np.testing.assert_allclose(c * c + s * s, 1.0, atol=1e-12)
+
+
+def test_fgmres_solves_dense_system():
+    rng = np.random.default_rng(1)
+    n = 60
+    a = rng.standard_normal((n, n))
+    a = a @ a.T + n * np.eye(n)
+    b = rng.standard_normal((n, 1))
+
+    x = fgmres(
+        lambda v: a @ v,
+        b,
+        m=None,
+        max_outer_iterations=50,
+        max_inner_iterations=20,
+        tolerance=FittingAccuracy(1e-12, FittingAccuracyType.Relative),
+    )
+    np.testing.assert_allclose(a @ x, b, atol=1e-8)
+
+
+def test_fgmres_with_preconditioner_converges_faster():
+    rng = np.random.default_rng(2)
+    n = 80
+    d = np.linspace(1, 1e4, n)
+    a = np.diag(d)
+    b = rng.standard_normal((n, 1))
+    counts = {"plain": 0, "precond": 0}
+
+    def mk_counter(key):
+        def mv(v):
+            counts[key] += 1
+            return a @ v
+
+        return mv
+
+    tol = FittingAccuracy(1e-10, FittingAccuracyType.Relative)
+    fgmres(mk_counter("plain"), b, None, max_outer_iterations=100,
+           max_inner_iterations=10, tolerance=tol)
+    fgmres(mk_counter("precond"), b, m=lambda v: v / d[:, None],
+           max_outer_iterations=100, max_inner_iterations=10, tolerance=tol)
+    assert counts["precond"] < counts["plain"]
+
+
+def test_stationary_solver_with_exact_preconditioner():
+    rng = np.random.default_rng(3)
+    n = 40
+    a = rng.standard_normal((n, n))
+    a = a @ a.T + n * np.eye(n)
+    ainv = np.linalg.inv(a)
+    b = rng.standard_normal((n, 1))
+    x = schwarz_ddm_solver(
+        lambda v: a @ v, b, m=lambda r: ainv @ r, max_iterations=10,
+        tolerance=FittingAccuracy(1e-12, FittingAccuracyType.Relative),
+    )
+    np.testing.assert_allclose(a @ x, b, atol=1e-9)
+
+
+# ------------------------------------------------------------- DDM invariants
+def _ddm(n=800, d=2, **kw):
+    pts = frt.generate_random_points(n, d, seed=42)
+    settings = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.Spheroidal)
+    settings.set_basis_size(d)
+    params = DDMParams(**kw)
+    return DDMTree(pts, settings, params), pts
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_ddm_union_and_disjoint_internal(d):
+    tree, _ = _ddm(400, d, leaf_threshold=40, overlap_quota=0.5,
+                   coarse_ratio=0.5, coarse_threshold=60)
+    for level in tree.levels[:-1]:
+        seen = set()
+        union = []
+        for plan in level.leaf_plans:
+            internal = plan.point_indices[plan.internal_mask]
+            for gi in internal:
+                assert gi not in seen, "internal index in multiple domains"
+                seen.add(gi)
+            union.extend(internal.tolist())
+        assert sorted(union) == sorted(level.point_indices.tolist())
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_ddm_overlap_bound_and_tail(d):
+    tree, _ = _ddm(400, d, leaf_threshold=45, overlap_quota=0.25,
+                   coarse_ratio=0.3, coarse_threshold=70)
+    lvl0 = tree.levels[0]
+    for plan in lvl0.leaf_plans:
+        internal = int(plan.internal_mask.sum())
+        overlap = plan.internal_mask.size - internal
+        bound = int(np.ceil(2.0 * internal * 0.25))
+        assert overlap <= bound
+        # without a drift the mask keeps internals first, overlap at the tail
+        first_false = np.argmin(plan.internal_mask) if overlap else None
+        if overlap:
+            assert not plan.internal_mask[first_false:].any()
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_ddm_monotone_levels_and_coarse(d):
+    tree, _ = _ddm(480, d, leaf_threshold=40, overlap_quota=0.2,
+                   coarse_ratio=0.25, coarse_threshold=80)
+    for a, b in zip(tree.levels[:-1], tree.levels[1:]):
+        assert b.point_indices.size <= a.point_indices.size
+        assert set(b.point_indices.tolist()) <= set(a.point_indices.tolist())
+    for level in tree.levels:
+        idx = level.point_indices
+        assert np.array_equal(idx, np.unique(idx))
+    coarse = tree.levels[-1]
+    assert hasattr(coarse, "coarse_domain")
+    assert coarse.coarse_domain.internal_points_mask.all()
+
+
+def test_ddm_threshold_short_circuit():
+    tree, _ = _ddm(100, 2, leaf_threshold=40, overlap_quota=0.2,
+                   coarse_ratio=0.5, coarse_threshold=100)
+    assert len(tree.levels) == 1
+
+
+# ------------------------------------------------------ end-to-end iterative
+def _iter_params(kernel_type, leaf=300, coarse=800):
+    params = Params.builder(kernel_type).naive_solve_threshold(1000).build()
+    params.ddm_params = DDMParams(
+        leaf_threshold=leaf, overlap_quota=0.5, coarse_ratio=0.25,
+        coarse_threshold=coarse,
+    )
+    return params
+
+
+def test_iterative_fit_linear_3d():
+    pts = frt.generate_random_points(5000, 3, seed=42)
+    vals = frt.RBFTestFunctions.f1_3d(pts)
+    settings = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.Linear)
+    rbfi = frt.RBFInterpolator(
+        pts, vals, settings, params=_iter_params(frt.RBFKernelType.Linear)
+    )
+    resid = np.max(np.abs(rbfi.evaluate_at_source(True) - vals))
+    assert resid < 5e-6, resid
+
+
+def test_iterative_fit_tps_drift_2d():
+    pts = frt.generate_random_points(6000, 2, seed=1)
+    vals = frt.RBFTestFunctions.franke_2d(pts)
+    settings = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.ThinPlateSpline)
+    rbfi = frt.RBFInterpolator(
+        pts, vals, settings, params=_iter_params(frt.RBFKernelType.ThinPlateSpline)
+    )
+    resid = np.max(np.abs(rbfi.evaluate_at_source(True) - vals))
+    assert resid < 5e-6, resid
+    # evaluation away from the data is smooth/finite
+    grid = frt.create_evaluation_grid([(0.2, 0.8), (0.2, 0.8)], [15, 15])
+    vals_g = rbfi.evaluate(grid)
+    ref = frt.RBFTestFunctions.franke_2d(grid)
+    assert np.max(np.abs(vals_g - ref)) < 5e-2
+
+
+def test_iterative_fit_stationary_ddm_solver():
+    pts = frt.generate_random_points(5000, 2, seed=5)
+    vals = frt.RBFTestFunctions.franke_2d(pts)
+    settings = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.ThinPlateSpline)
+    params = _iter_params(frt.RBFKernelType.ThinPlateSpline)
+    params.solver_type = Solvers.DDM
+    rbfi = frt.RBFInterpolator(pts, vals, settings, params=params)
+    resid = np.max(np.abs(rbfi.evaluate_at_source(True) - vals))
+    assert resid < 5e-6, resid
+
+
+def test_iterative_fit_spheroidal_nugget():
+    pts = frt.generate_random_points(5000, 3, seed=9)
+    vals = frt.RBFTestFunctions.f4_3d(pts)
+    settings = frt.InterpolantSettings(
+        kernel_type=frt.RBFKernelType.Spheroidal, base_range=0.6,
+        total_sill=0.5, nugget=1e-8,
+    )
+    rbfi = frt.RBFInterpolator(
+        pts, vals, settings, params=_iter_params(frt.RBFKernelType.Spheroidal)
+    )
+    resid = np.max(np.abs(rbfi.evaluate_at_source(True) - vals))
+    assert resid < 5e-6, resid
+
+
+def test_iterative_matches_dense_solution():
+    """Iterative and direct solves agree on the interpolant they produce."""
+    pts = frt.generate_random_points(4500, 2, seed=11)
+    vals = frt.RBFTestFunctions.franke_2d(pts)
+    settings = frt.InterpolantSettings(
+        kernel_type=frt.RBFKernelType.ThinPlateSpline,
+        fitting_accuracy=FittingAccuracy(1e-10, FittingAccuracyType.Relative),
+    )
+    it = frt.RBFInterpolator(
+        pts, vals, settings, params=_iter_params(frt.RBFKernelType.ThinPlateSpline)
+    )
+    direct_params = Params.builder(frt.RBFKernelType.ThinPlateSpline).naive_solve_threshold(10000).build()
+    direct = frt.RBFInterpolator(pts, vals, settings, params=direct_params)
+    grid = frt.create_evaluation_grid([(0.1, 0.9), (0.1, 0.9)], [12, 12])
+    np.testing.assert_allclose(it.evaluate(grid), direct.evaluate(grid), atol=1e-7)
