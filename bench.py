@@ -1,0 +1,74 @@
+"""Headline benchmark: BBFMM matvec throughput (driver config 2).
+
+3D biharmonic (Linear kernel) matvec over 100k uniform random points,
+Chebyshev order 5, 8 right-hand sides, uniform tree — the north-star
+FMM-matvec configuration from BASELINE.md. Prints ONE JSON line:
+{"metric": ..., "value": pts/s, "unit": "pts/s", "vs_baseline": x}.
+
+``vs_baseline`` is measured against an estimated 2.5e6 pts/s for the Rust
+reference's rayon matvec of the same configuration on a 64-core CPU (the
+reference publishes no numbers — BASELINE.md records "published: {}" — so
+this anchor is an engineering estimate of a tuned multithreaded CPU BBFMM
+at p=5 with 8 RHS; it will be recalibrated when a CPU run of the reference
+is available).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ferreus_rbf_tpu.config import FmmCompressionType, FmmParams
+    from ferreus_rbf_tpu.ops.fmm.api import FmmTree
+    from ferreus_rbf_tpu.ops.kernels import KernelParams, KernelType
+
+    n = 100_000
+    nrhs = 8
+    p = 5
+
+    rng = np.random.default_rng(42)
+    pts = rng.random((n, 3))
+    weights = rng.standard_normal((n, nrhs))
+
+    params = FmmParams(
+        interpolation_order=p,
+        max_points_per_cell=256,
+        compression_type=FmmCompressionType.ACA,
+        epsilon=10.0**-p,
+        eval_chunk_size=1024,
+    )
+    kp = KernelParams(KernelType.LinearRbf)
+
+    tree = FmmTree(pts, p, kp, adaptive_tree=False, sparse=True, params=params)
+
+    # warmup: compile + cache target binning
+    tree.set_weights(weights)
+    tree.evaluate(weights, pts, reuse_key="src")
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        tree.set_weights(weights)
+        vals = tree.evaluate(weights, pts, reuse_key="src")
+    elapsed = (time.perf_counter() - t0) / reps
+
+    pts_per_s = n / elapsed
+    baseline_estimate = 2.5e6  # est. reference pts/s on 64-core CPU (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "fmm_matvec_pts_per_s_100k_p5_rhs8",
+                "value": round(pts_per_s, 1),
+                "unit": "pts/s",
+                "vs_baseline": round(pts_per_s / baseline_estimate, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

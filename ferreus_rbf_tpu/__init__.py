@@ -21,9 +21,25 @@ All numerics are float64 (the reference is f64 end-to-end, and interpolation
 parity to ~1e-8 requires it), so x64 mode is enabled at import.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles of the f64 FMM programs are
+# expensive on TPU backends; caching them on disk makes every process after
+# the first start warm.
+_cache_dir = _os.environ.get(
+    "FERREUS_RBF_TPU_JAX_CACHE",
+    _os.path.expanduser("~/.cache/ferreus_rbf_tpu_jax"),
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from .interpolant_config import (  # noqa: E402
     Drift,

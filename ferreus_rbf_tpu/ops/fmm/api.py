@@ -114,8 +114,7 @@ def _downward(dev, mult, w_sorted, *, kparams):
     return local
 
 
-@_partial(jax.jit, static_argnames=("d", "p", "with_grads"))
-def _l2p(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads):
+def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads):
     nodes_t = dev["nodes_t"]
     tpts = targets[tgt_idx]
     centers = dev["cell_centers"][tcells]
@@ -132,9 +131,13 @@ def _l2p(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads):
     return tpts, vals_b, grads_b
 
 
-@_partial(jax.jit, static_argnames=("kparams", "with_grads"))
-def _p2p_chunk(dev, tpts, trows, srows, w_sorted, vals_b, grads_b, *, kparams, with_grads):
-    kernel = make_kernel(kparams)
+_l2p = _partial(jax.jit, static_argnames=("d", "p", "with_grads"))(_l2p_impl)
+
+
+def _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs):
+    """One P2P chunk: phi(r2) tile contracted against source weights."""
+    vals_b, grads_b = carry
+    trows, srows = xs
     tp = tpts[trows]
     sidx = dev["src_bucket_idx"][srows]
     sm = dev["src_bucket_mask"][srows]
@@ -149,11 +152,50 @@ def _p2p_chunk(dev, tpts, trows, srows, w_sorted, vals_b, grads_b, *, kparams, w
     else:
         k = jnp.where(sm[:, None, :], kernel.pair(tp, sp), 0.0)
         vals_b = vals_b.at[trows].add(jnp.einsum("mts,msr->mtr", k, wv))
-    return vals_b, grads_b
+    return (vals_b, grads_b), None
 
 
 @_partial(jax.jit, static_argnames=("kparams", "with_grads"))
-def _m2p(dev, tpts, trows, wcells, wvalid, mult, vals_b, grads_b, *, kparams, with_grads):
+def _p2p_all(dev, tpts, p2p_t, p2p_s, w_sorted, vals_b, grads_b, *, kparams, with_grads):
+    """All near-field P2P work in ONE dispatch: lax.scan over fixed-size
+    chunks of the (target-bucket, source-bucket) pair list. The scan carry
+    is updated in place by XLA, so peak memory is a single chunk tile."""
+    kernel = make_kernel(kparams)
+
+    def body(carry, xs):
+        return _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs)
+
+    (vals_b, grads_b), _ = jax.lax.scan(body, (vals_b, grads_b), (p2p_t, p2p_s))
+    return vals_b, grads_b
+
+
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "with_grads"))
+def _leaf_all(
+    dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
+    p2p_t, p2p_s, m2p_t, m2p_s, m2p_w, *, kparams, d, p, n_pad, with_grads
+):
+    """The whole leaf pass (L2P + scanned P2P + M2P + unbucket) as ONE
+    compiled program — one device dispatch per evaluation batch."""
+    kernel = make_kernel(kparams)
+    tpts, vals_b, grads_b = _l2p_impl(
+        dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p, with_grads=with_grads
+    )
+    if p2p_t.shape[0]:
+        def body(carry, xs):
+            return _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs)
+
+        (vals_b, grads_b), _ = jax.lax.scan(body, (vals_b, grads_b), (p2p_t, p2p_s))
+    if m2p_t.shape[0]:
+        vals_b, grads_b = _m2p_impl(
+            dev, tpts, m2p_t, m2p_s, m2p_w, mult, vals_b, grads_b,
+            kparams=kparams, with_grads=with_grads,
+        )
+    return _unbucket_impl(
+        tgt_idx, tgt_mask, vals_b, grads_b, n_pad=n_pad, d=d, with_grads=with_grads
+    )
+
+
+def _m2p_impl(dev, tpts, trows, wcells, wvalid, mult, vals_b, grads_b, *, kparams, with_grads):
     kernel = make_kernel(kparams)
     nodes_scaled = cheb.scale_nodes_to_cell(
         dev["nodes_nd"], dev["cell_centers"][wcells], dev["cell_lengths"][wcells], xp=jnp
@@ -170,17 +212,24 @@ def _m2p(dev, tpts, trows, wcells, wvalid, mult, vals_b, grads_b, *, kparams, wi
     return vals_b, grads_b
 
 
-@_partial(jax.jit, static_argnames=("n", "d", "with_grads"))
-def _unbucket(tgt_idx, tgt_mask, vals_b, grads_b, *, n, d, with_grads):
+_m2p = _partial(jax.jit, static_argnames=("kparams", "with_grads"))(_m2p_impl)
+
+
+def _unbucket_impl(tgt_idx, tgt_mask, vals_b, grads_b, *, n_pad, d, with_grads):
+    # n_pad is the power-of-two padded target count: the true count is
+    # sliced off on the host so distinct batch sizes reuse one program.
     nrhs = vals_b.shape[-1]
-    flat_idx = jnp.where(tgt_mask, tgt_idx, n).reshape(-1)
-    vals = jnp.zeros((n + 1, nrhs), jnp.float64)
+    flat_idx = jnp.where(tgt_mask, tgt_idx, n_pad).reshape(-1)
+    vals = jnp.zeros((n_pad + 1, nrhs), jnp.float64)
     vals = vals.at[flat_idx].add(vals_b.reshape(-1, nrhs), mode="drop")
     if with_grads:
-        grads = jnp.zeros((n + 1, nrhs, d), jnp.float64)
+        grads = jnp.zeros((n_pad + 1, nrhs, d), jnp.float64)
         grads = grads.at[flat_idx].add(grads_b.reshape(-1, nrhs, d), mode="drop")
-        return vals[:n], grads[:n].reshape(n, -1)
-    return vals[:n], jnp.zeros((0,), jnp.float64)
+        return vals[:n_pad], grads[:n_pad].reshape(n_pad, -1)
+    return vals[:n_pad], jnp.zeros((0,), jnp.float64)
+
+
+_unbucket = _partial(jax.jit, static_argnames=("n_pad", "d", "with_grads"))(_unbucket_impl)
 
 
 class FmmTree:
@@ -232,6 +281,9 @@ class FmmTree:
         self._local = None
         self._weights_sorted = None
         self._target_cache = {}
+        self._hwm = {}
+        # fixed target-bucket width (leaves with more targets span rows)
+        self._tmax = min(64, _next_pow2(max(self.smax, 8)))
 
     # ------------------------------------------------------------ operators
     def _build_operators(self):
@@ -420,62 +472,94 @@ class FmmTree:
         self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
 
     # --------------------------------------------------------- evaluation
+    _HWM_FLOORS = {"ntl": 32, "nchunks": 2, "m2p": 128, "n": 1024}
+
+    def _hwm_pad(self, key: str, n: int) -> int:
+        """Monotonic high-water-mark padding: shapes only ever grow (to the
+        next power of two, from a per-key floor), so the number of distinct
+        compiled programs per tree is O(log max) rather than one per batch
+        size."""
+        cur = self._hwm.get(key, self._HWM_FLOORS.get(key, 0))
+        if n <= cur:
+            self._hwm[key] = cur
+            return cur
+        new = _next_pow2(n)
+        self._hwm[key] = new
+        return new
+
     def _bin_targets(self, target_points, reuse_key=None):
-        """Host-side target bucketing with power-of-two shape quantisation."""
+        """Host-side target bucketing with high-water-mark shape padding."""
         if reuse_key is not None and reuse_key in self._target_cache:
             return self._target_cache[reuse_key]
 
         targets = np.asarray(target_points, np.float64)
         n = targets.shape[0]
         leaf_of_target = self.tree.points_to_leaves(targets)
-        tcells, tinv = np.unique(leaf_of_target, return_inverse=True)
+        tcells_u, tinv = np.unique(leaf_of_target, return_inverse=True)
         order = np.argsort(tinv, kind="stable")
-        counts = np.bincount(tinv, minlength=tcells.size)
+        counts = np.bincount(tinv, minlength=tcells_u.size)
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        ntl = tcells.size
-        tmax = _next_pow2(int(counts.max()) if counts.size else 1)
-        ntl_pad = _next_pow2(ntl)
+
+        # fixed bucket width: leaves holding more targets span several rows
+        tmax = self._tmax
+        rows = []
+        for i in range(tcells_u.size):
+            lo, hi = offsets[i], offsets[i + 1]
+            for start in range(lo, hi, tmax):
+                rows.append((tcells_u[i], order[start : min(start + tmax, hi)]))
+
+        ntl = len(rows)
+        ntl_pad = self._hwm_pad("ntl", ntl)
         tgt_idx = np.zeros((ntl_pad, tmax), np.int64)
         tgt_mask = np.zeros((ntl_pad, tmax), bool)
-        for i in range(ntl):
-            lo, hi = offsets[i], offsets[i + 1]
-            tgt_idx[i, : hi - lo] = order[lo:hi]
-            tgt_mask[i, : hi - lo] = True
         tcells_pad = np.zeros(ntl_pad, np.int64)
-        tcells_pad[:ntl] = tcells
+        for i, (cell, idxs) in enumerate(rows):
+            tgt_idx[i, : idxs.size] = idxs
+            tgt_mask[i, : idxs.size] = True
+            tcells_pad[i] = cell
+
+        # P2P / M2P pairs reference bucket ROWS (a leaf may span several)
+        cell_rows: dict[int, list] = {}
+        for i, (cell, _idxs) in enumerate(rows):
+            cell_rows.setdefault(int(cell), []).append(i)
 
         def pairs_for(sorted_pairs, map_src):
-            lohi = np.searchsorted(sorted_pairs[:, 0], np.stack([tcells, tcells + 1], 1))
-            cnts = lohi[:, 1] - lohi[:, 0]
-            trows = np.repeat(np.arange(ntl), cnts)
-            scat = (
-                np.concatenate([sorted_pairs[lo:hi, 1] for lo, hi in lohi])
-                if np.any(cnts)
-                else np.zeros(0, np.int64)
+            lohi = np.searchsorted(
+                sorted_pairs[:, 0], np.stack([tcells_u, tcells_u + 1], 1)
             )
-            if map_src:
-                srows = self.cell_to_src_row[scat]
-                keep = srows >= 0
-                return trows[keep], srows[keep]
-            keep = self.tree.has_points[scat]
-            return trows[keep], scat[keep]
+            trows_out = []
+            s_out = []
+            for i, cell in enumerate(tcells_u):
+                lo, hi = lohi[i]
+                if hi <= lo:
+                    continue
+                scat = sorted_pairs[lo:hi, 1]
+                if map_src:
+                    srows = self.cell_to_src_row[scat]
+                    srows = srows[srows >= 0]
+                else:
+                    srows = scat[self.tree.has_points[scat]]
+                for r in cell_rows[int(cell)]:
+                    trows_out.append(np.full(srows.size, r, np.int64))
+                    s_out.append(srows)
+            if trows_out:
+                return np.concatenate(trows_out), np.concatenate(s_out)
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
         p2p_t, p2p_s = pairs_for(self._u_sorted, map_src=True)
         m2p_t, m2p_s = pairs_for(self._w_sorted, map_src=False)
 
-        # pad the P2P pair list to a multiple of the chunk size with the
-        # empty-mask padding source row (self.nsl)
-        chunk = max(1, int(2**22 // max(tmax * self.smax, 1)))
+        chunk = max(1, int(2**23 // max(tmax * self.smax, 1)))
         npairs = p2p_t.size
         if npairs:
-            npairs_pad = ((npairs + chunk - 1) // chunk) * chunk
-            pad = npairs_pad - npairs
+            nchunks = self._hwm_pad("nchunks", (npairs + chunk - 1) // chunk)
+            pad = nchunks * chunk - npairs
             p2p_t = np.concatenate([p2p_t, np.zeros(pad, np.int64)])
             p2p_s = np.concatenate([p2p_s, np.full(pad, self.nsl, np.int64)])
 
         m2p_valid = m2p_t.size
         if m2p_valid:
-            m2p_pad = _next_pow2(m2p_valid)
+            m2p_pad = self._hwm_pad("m2p", m2p_valid)
             pad = m2p_pad - m2p_valid
             m2p_w = np.concatenate([np.ones(m2p_valid), np.zeros(pad)])
             m2p_t = np.concatenate([m2p_t, np.zeros(pad, np.int64)])
@@ -483,16 +567,21 @@ class FmmTree:
         else:
             m2p_w = np.zeros(0)
 
+        n_pad = self._hwm_pad("n", n)
+        targets_pad = np.zeros((n_pad, targets.shape[1]))
+        targets_pad[:n] = targets
+
         binned = {
+            "targets_pad": targets_pad,
             "tcells": tcells_pad,
             "tgt_idx": tgt_idx,
             "tgt_mask": tgt_mask,
-            "p2p_t": p2p_t,
-            "p2p_s": p2p_s,
-            "chunk": chunk,
+            "p2p_t": p2p_t.reshape(-1, chunk) if p2p_t.size else np.zeros((0, chunk), np.int64),
+            "p2p_s": p2p_s.reshape(-1, chunk) if p2p_s.size else np.zeros((0, chunk), np.int64),
             "m2p_t": m2p_t,
             "m2p_s": m2p_s,
             "m2p_w": m2p_w,
+            "n_pad": n_pad,
             "ntargets": n,
         }
         if reuse_key is not None:
@@ -500,51 +589,31 @@ class FmmTree:
         return binned
 
     def _leaf_pass(self, targets, binned, with_grads: bool):
-        targets_j = jnp.asarray(np.asarray(targets, np.float64))
-        tgt_idx = jnp.asarray(binned["tgt_idx"])
-        tgt_mask = jnp.asarray(binned["tgt_mask"])
-        tcells = jnp.asarray(binned["tcells"])
-
-        tpts, vals_b, grads_b = _l2p(
-            self._dev, targets_j, tgt_idx, tgt_mask, tcells, self._local,
-            d=self.d, p=self.p, with_grads=with_grads,
-        )
-
-        p2p_t, p2p_s, chunk = binned["p2p_t"], binned["p2p_s"], binned["chunk"]
-        for start in range(0, p2p_t.size, chunk):
-            vals_b, grads_b = _p2p_chunk(
-                self._dev,
-                tpts,
-                jnp.asarray(p2p_t[start : start + chunk]),
-                jnp.asarray(p2p_s[start : start + chunk]),
-                self._weights_sorted,
-                vals_b,
-                grads_b,
-                kparams=self.kernel_params,
-                with_grads=with_grads,
-            )
-
-        if binned["m2p_t"].size:
-            vals_b, grads_b = _m2p(
-                self._dev,
-                tpts,
-                jnp.asarray(binned["m2p_t"]),
-                jnp.asarray(binned["m2p_s"]),
-                jnp.asarray(binned["m2p_w"]),
-                self._multipole,
-                vals_b,
-                grads_b,
-                kparams=self.kernel_params,
-                with_grads=with_grads,
-            )
-
+        """One fused device dispatch for the whole leaf pass."""
         n = binned["ntargets"]
-        vals, grads = _unbucket(
-            tgt_idx, tgt_mask, vals_b, grads_b, n=n, d=self.d, with_grads=with_grads
+        vals, grads = _leaf_all(
+            self._dev,
+            jnp.asarray(binned["targets_pad"]),
+            jnp.asarray(binned["tgt_idx"]),
+            jnp.asarray(binned["tgt_mask"]),
+            jnp.asarray(binned["tcells"]),
+            self._local,
+            self._multipole,
+            self._weights_sorted,
+            jnp.asarray(binned["p2p_t"]),
+            jnp.asarray(binned["p2p_s"]),
+            jnp.asarray(binned["m2p_t"]),
+            jnp.asarray(binned["m2p_s"]),
+            jnp.asarray(binned["m2p_w"]),
+            kparams=self.kernel_params,
+            d=self.d,
+            p=self.p,
+            n_pad=binned["n_pad"],
+            with_grads=with_grads,
         )
         if with_grads:
-            return np.asarray(vals), np.asarray(grads)
-        return np.asarray(vals), None
+            return np.asarray(vals)[:n], np.asarray(grads)[:n]
+        return np.asarray(vals)[:n], None
 
     def _check_gradients(self):
         if not self.kernel.supports_gradients:
