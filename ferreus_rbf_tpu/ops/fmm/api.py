@@ -134,13 +134,21 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
 _l2p = _partial(jax.jit, static_argnames=("d", "p", "with_grads"))(_l2p_impl)
 
 
-def _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs):
-    """One P2P chunk: phi(r2) tile contracted against source weights."""
+def _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs, s_cap=None):
+    """One P2P chunk: phi(r2) tile contracted against source weights.
+
+    ``s_cap`` statically truncates the source-bucket width: pairs are grouped
+    by source-leaf size class at bin time, so a mostly-small-leaf tree (the
+    realistic surface-data case) does not pay max-size padded tiles.
+    """
     vals_b, grads_b = carry
     trows, srows = xs
     tp = tpts[trows]
     sidx = dev["src_bucket_idx"][srows]
     sm = dev["src_bucket_mask"][srows]
+    if s_cap is not None:
+        sidx = sidx[:, :s_cap]
+        sm = sm[:, :s_cap]
     sp = dev["pts_sorted"][sidx]
     wv = jnp.where(sm[..., None], w_sorted[sidx], 0.0)
     if with_grads:
@@ -169,20 +177,23 @@ def _p2p_all(dev, tpts, p2p_t, p2p_s, w_sorted, vals_b, grads_b, *, kparams, wit
     return vals_b, grads_b
 
 
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "with_grads"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "s_classes", "with_grads"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-    p2p_t, p2p_s, m2p_t, m2p_s, m2p_w, *, kparams, d, p, n_pad, with_grads
+    p2p_groups, m2p_t, m2p_s, m2p_w, *, kparams, d, p, n_pad, s_classes, with_grads
 ):
-    """The whole leaf pass (L2P + scanned P2P + M2P + unbucket) as ONE
-    compiled program — one device dispatch per evaluation batch."""
+    """The whole leaf pass (L2P + scanned per-size-class P2P + M2P +
+    unbucket) as ONE compiled program — one device dispatch per batch."""
     kernel = make_kernel(kparams)
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p, with_grads=with_grads
     )
-    if p2p_t.shape[0]:
-        def body(carry, xs):
-            return _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs)
+    for (p2p_t, p2p_s), s_cap in zip(p2p_groups, s_classes):
+        if p2p_t.shape[0] == 0:
+            continue
+
+        def body(carry, xs, _cap=s_cap):
+            return _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs, s_cap=_cap)
 
         (vals_b, grads_b), _ = jax.lax.scan(body, (vals_b, grads_b), (p2p_t, p2p_s))
     if m2p_t.shape[0]:
@@ -321,6 +332,7 @@ class FmmTree:
             src_mask[i, : hi - lo] = True
         self.smax = smax
         self.nsl = nsl
+        self._src_counts = np.concatenate([counts, [0]]).astype(np.int64)
         self.src_leaf_cells = t.leaf_cells
         self.src_bucket_idx = src_idx  # into the SORTED point arrays
         self.src_bucket_mask = src_mask
@@ -549,13 +561,24 @@ class FmmTree:
         p2p_t, p2p_s = pairs_for(self._u_sorted, map_src=True)
         m2p_t, m2p_s = pairs_for(self._w_sorted, map_src=False)
 
-        chunk = max(1, int(2**23 // max(tmax * self.smax, 1)))
-        npairs = p2p_t.size
-        if npairs:
-            nchunks = self._hwm_pad("nchunks", (npairs + chunk - 1) // chunk)
-            pad = nchunks * chunk - npairs
-            p2p_t = np.concatenate([p2p_t, np.zeros(pad, np.int64)])
-            p2p_s = np.concatenate([p2p_s, np.full(pad, self.nsl, np.int64)])
+        # group P2P pairs by source-leaf size class (power-of-two widths) so
+        # each scan contracts tiles of roughly the right source width
+        p2p_groups = []
+        s_classes = []
+        if p2p_t.size:
+            src_counts = self._src_counts[p2p_s]
+            cls = np.maximum(8, 1 << np.ceil(np.log2(np.maximum(src_counts, 1))).astype(np.int64))
+            np.minimum(cls, self.smax, out=cls)
+            for s_cap in sorted(set(cls.tolist())):
+                sel = cls == s_cap
+                gt, gs = p2p_t[sel], p2p_s[sel]
+                chunk = max(1, int(2**23 // max(tmax * s_cap, 1)))
+                nchunks = self._hwm_pad(f"nchunks_{s_cap}", (gt.size + chunk - 1) // chunk)
+                pad = nchunks * chunk - gt.size
+                gt = np.concatenate([gt, np.zeros(pad, np.int64)])
+                gs = np.concatenate([gs, np.full(pad, self.nsl, np.int64)])
+                p2p_groups.append((gt.reshape(-1, chunk), gs.reshape(-1, chunk)))
+                s_classes.append(int(s_cap))
 
         m2p_valid = m2p_t.size
         if m2p_valid:
@@ -576,8 +599,8 @@ class FmmTree:
             "tcells": tcells_pad,
             "tgt_idx": tgt_idx,
             "tgt_mask": tgt_mask,
-            "p2p_t": p2p_t.reshape(-1, chunk) if p2p_t.size else np.zeros((0, chunk), np.int64),
-            "p2p_s": p2p_s.reshape(-1, chunk) if p2p_s.size else np.zeros((0, chunk), np.int64),
+            "p2p_groups": p2p_groups,
+            "s_classes": tuple(s_classes),
             "m2p_t": m2p_t,
             "m2p_s": m2p_s,
             "m2p_w": m2p_w,
@@ -600,8 +623,9 @@ class FmmTree:
             self._local,
             self._multipole,
             self._weights_sorted,
-            jnp.asarray(binned["p2p_t"]),
-            jnp.asarray(binned["p2p_s"]),
+            tuple(
+                (jnp.asarray(gt), jnp.asarray(gs)) for gt, gs in binned["p2p_groups"]
+            ),
             jnp.asarray(binned["m2p_t"]),
             jnp.asarray(binned["m2p_s"]),
             jnp.asarray(binned["m2p_w"]),
@@ -609,6 +633,7 @@ class FmmTree:
             d=self.d,
             p=self.p,
             n_pad=binned["n_pad"],
+            s_classes=binned["s_classes"],
             with_grads=with_grads,
         )
         if with_grads:
