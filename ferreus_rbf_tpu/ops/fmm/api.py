@@ -594,16 +594,19 @@ class FmmTree:
         targets_pad = np.zeros((n_pad, targets.shape[1]))
         targets_pad[:n] = targets
 
+        # arrays go to the device once; cached binnings keep them resident
         binned = {
-            "targets_pad": targets_pad,
-            "tcells": tcells_pad,
-            "tgt_idx": tgt_idx,
-            "tgt_mask": tgt_mask,
-            "p2p_groups": p2p_groups,
+            "targets_pad": jnp.asarray(targets_pad),
+            "tcells": jnp.asarray(tcells_pad),
+            "tgt_idx": jnp.asarray(tgt_idx),
+            "tgt_mask": jnp.asarray(tgt_mask),
+            "p2p_groups": tuple(
+                (jnp.asarray(gt), jnp.asarray(gs)) for gt, gs in p2p_groups
+            ),
             "s_classes": tuple(s_classes),
-            "m2p_t": m2p_t,
-            "m2p_s": m2p_s,
-            "m2p_w": m2p_w,
+            "m2p_t": jnp.asarray(m2p_t),
+            "m2p_s": jnp.asarray(m2p_s),
+            "m2p_w": jnp.asarray(m2p_w),
             "n_pad": n_pad,
             "ntargets": n,
         }
@@ -612,30 +615,9 @@ class FmmTree:
         return binned
 
     def _leaf_pass(self, targets, binned, with_grads: bool):
-        """One fused device dispatch for the whole leaf pass."""
+        """Fused leaf pass; returns host arrays."""
         n = binned["ntargets"]
-        vals, grads = _leaf_all(
-            self._dev,
-            jnp.asarray(binned["targets_pad"]),
-            jnp.asarray(binned["tgt_idx"]),
-            jnp.asarray(binned["tgt_mask"]),
-            jnp.asarray(binned["tcells"]),
-            self._local,
-            self._multipole,
-            self._weights_sorted,
-            tuple(
-                (jnp.asarray(gt), jnp.asarray(gs)) for gt, gs in binned["p2p_groups"]
-            ),
-            jnp.asarray(binned["m2p_t"]),
-            jnp.asarray(binned["m2p_s"]),
-            jnp.asarray(binned["m2p_w"]),
-            kparams=self.kernel_params,
-            d=self.d,
-            p=self.p,
-            n_pad=binned["n_pad"],
-            s_classes=binned["s_classes"],
-            with_grads=with_grads,
-        )
+        vals, grads = self._leaf_pass_device(binned, with_grads)
         if with_grads:
             return np.asarray(vals)[:n], np.asarray(grads)[:n]
         return np.asarray(vals)[:n], None
@@ -643,6 +625,47 @@ class FmmTree:
     def _check_gradients(self):
         if not self.kernel.supports_gradients:
             raise KernelDoesNotSupportGradientsError()
+
+    # ------------------------------------------------- device-resident path
+    def prepare_targets(self, target_points, reuse_key) -> None:
+        """Bind a named target set for the device-resident matvec path."""
+        self._bin_targets(target_points, reuse_key)
+
+    def _leaf_pass_device(self, binned, with_grads: bool):
+        return _leaf_all(
+            self._dev,
+            binned["targets_pad"],
+            binned["tgt_idx"],
+            binned["tgt_mask"],
+            binned["tcells"],
+            self._local,
+            self._multipole,
+            self._weights_sorted,
+            binned["p2p_groups"],
+            binned["m2p_t"],
+            binned["m2p_s"],
+            binned["m2p_w"],
+            kparams=self.kernel_params,
+            d=self.d,
+            p=self.p,
+            n_pad=binned["n_pad"],
+            s_classes=binned["s_classes"],
+            with_grads=with_grads,
+        )
+
+    def evaluate_device(self, weights_dev, reuse_key):
+        """Full matvec at a prepared target set, device in -> device out.
+
+        No host transfers: intended for the solver hot loop where weights,
+        values and residuals all live in HBM.
+        """
+        binned = self._target_cache[reuse_key]
+        self._multipole, self._weights_sorted = _upward(self._dev, weights_dev)
+        self._local = _downward(
+            self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params
+        )
+        vals, _ = self._leaf_pass_device(binned, with_grads=False)
+        return vals[: binned["ntargets"]]
 
     def evaluate(self, weights, target_points, reuse_key=None) -> np.ndarray:
         """Downward + leaf pass at ``target_points`` (full mode)."""

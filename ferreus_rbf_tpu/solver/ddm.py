@@ -388,16 +388,25 @@ class DDMTree:
                 k=bucket["k"],
                 n_out=n_out,
             )
-        return np.asarray(out)
+        return out  # device array; callers pull to host only when needed
 
-    def solve_coarse(self, residual: np.ndarray, add_poly: bool) -> np.ndarray:
-        """Direct coarse solve; optionally returns the polynomial tail."""
+    def solve_coarse(self, residual, add_poly: bool):
+        """Direct coarse solve; optionally returns the polynomial tail.
+
+        Device-friendly: only the coarse-domain rows cross the host boundary
+        (the coarse factorisation is a host direct solve); the scatter back
+        happens on the device.
+        """
         coarse = self.levels[-1]
         dom: Domain = coarse.coarse_domain
-        sol = dom.solve(residual)
-        out = np.zeros_like(residual)
-        out[dom.overlapping_point_indices] = sol.point_coefficients
+        if not hasattr(coarse, "_idx_dev"):
+            coarse._idx_dev = jnp.asarray(dom.overlapping_point_indices)
+        gathered = np.asarray(jnp.asarray(residual)[coarse._idx_dev])
+        sol = dom.solve_gathered(gathered)
+        n_total = residual.shape[0]
+        out = jnp.zeros((n_total, residual.shape[1]), jnp.float64)
+        out = out.at[coarse._idx_dev].set(jnp.asarray(sol.point_coefficients))
         if dom.solve_for_poly and add_poly and sol.poly_coefficients is not None:
             m = sol.poly_coefficients.shape[0]
-            out[-m:] = sol.poly_coefficients
+            out = out.at[-m:].set(jnp.asarray(sol.poly_coefficients))
         return out

@@ -194,15 +194,22 @@ class Domain:
 
     # -- solve ------------------------------------------------------------
     def solve(self, source_values: np.ndarray) -> Coefficients:
-        """Local solve: rhs projection through Q^T, Cholesky, expand lambda = Q gamma.
-
-        Optionally recovers the polynomial tail by interpolating the residual
-        at the special points (``domain.rs:393-467``).
-        """
+        """Local solve against the full global value vector."""
         values = np.asarray(source_values, np.float64)
         if values.ndim == 1:
             values = values[:, None]
-        domain_values = values[self.overlapping_point_indices]
+        return self.solve_gathered(values[self.overlapping_point_indices])
+
+    def solve_gathered(self, domain_values: np.ndarray) -> Coefficients:
+        """Local solve: rhs projection through Q^T, Cholesky, expand lambda = Q gamma.
+
+        Optionally recovers the polynomial tail by interpolating the residual
+        at the special points (``domain.rs:393-467``). ``domain_values`` are
+        the rows already gathered at ``overlapping_point_indices``.
+        """
+        domain_values = np.asarray(domain_values, np.float64)
+        if domain_values.ndim == 1:
+            domain_values = domain_values[:, None]
         n_total = self.overlapping_point_indices.shape[0]
         nrhs = domain_values.shape[1]
 

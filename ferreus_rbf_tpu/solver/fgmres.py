@@ -150,6 +150,171 @@ def _solution(h, g, z, i):
     return (z[:, :i] @ y)[:, None]
 
 
+def fgmres_device(
+    a,
+    b,
+    m=None,
+    x0=None,
+    max_outer_iterations: int = 20,
+    max_inner_iterations: int = 5,
+    tolerance: FittingAccuracy = None,
+    callback: Optional[Progress] = None,
+):
+    """Device-resident FGMRES: identical semantics to :func:`fgmres`, but
+    ``a``/``m`` map device arrays to device arrays and the Krylov basis stays
+    in HBM. Per inner iteration only the Gram-Schmidt coefficient column and
+    the basis-vector norm are pulled to the host (two small transfers), so
+    the hot loop is dominated by the operator applications."""
+    import jax.numpy as jnp
+
+    tolerance = tolerance or FittingAccuracy()
+    b = jnp.asarray(b).reshape(-1, 1)
+    n = b.shape[0]
+    x = jnp.zeros((n, 1)) if x0 is None else jnp.asarray(x0)
+
+    r = b - a(x)
+    if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+        beta = float(jnp.max(jnp.abs(r)))
+    else:
+        beta = float(jnp.linalg.norm(r))
+    if beta == 0.0:
+        return x
+
+    iteration = 1
+    mi = max_inner_iterations
+
+    for _outer in range(max_outer_iterations):
+        h = np.zeros((mi + 1, mi))
+        g = np.zeros(mi + 1)
+        cs = np.zeros(mi)
+        sn = np.zeros(mi)
+
+        r_norm = float(jnp.linalg.norm(r))
+        v = [r[:, 0] / r_norm]
+        z = []
+        g[0] = r_norm
+
+        breakdown_at = None
+        for j in range(mi):
+            w = m(v[j][:, None]) if m is not None else v[j][:, None]
+            z.append(w[:, 0])
+            wj = a(w)[:, 0]
+
+            # modified-Gram-Schmidt coefficients in one device matmul; the
+            # projection itself is a second matmul (classical update — for
+            # FGMRES with a strong preconditioner the loss of orthogonality
+            # versus the sequential MGS update is negligible at restart 5)
+            vmat = jnp.stack(v, axis=1)  # (n, j+1)
+            hcol = np.asarray(vmat.T @ wj)
+            wj = wj - vmat @ jnp.asarray(hcol)
+            norm = float(jnp.linalg.norm(wj))
+            h[: j + 1, j] = hcol
+            h[j + 1, j] = norm
+
+            for i in range(j):
+                temp = cs[i] * h[i, j] + sn[i] * h[i + 1, j]
+                h[i + 1, j] = -sn[i] * h[i, j] + cs[i] * h[i + 1, j]
+                h[i, j] = temp
+
+            c, s, _ = givens_rotation(h[j, j], h[j + 1, j])
+            h[j, j] = c * h[j, j] + s * h[j + 1, j]
+            h[j + 1, j] = 0.0
+            temp = c * g[j] + s * g[j + 1]
+            g[j + 1] = -s * g[j] + c * g[j + 1]
+            g[j] = temp
+            cs[j], sn[j] = c, s
+
+            if norm != 0.0:
+                v.append(wj / norm)
+            else:
+                v.append(wj)
+
+            if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+                res_norm = abs(g[j + 1])
+            else:
+                res_norm = abs(g[j + 1]) / beta
+
+            emit(
+                callback,
+                SolverIteration(
+                    iter=iteration,
+                    residual=res_norm,
+                    progress=progress_from_rel(res_norm, beta, tolerance.tolerance),
+                ),
+            )
+
+            if res_norm < tolerance.tolerance:
+                breakdown_at = j + 1
+                break
+            iteration += 1
+
+        i = breakdown_at if breakdown_at is not None else mi
+        import scipy.linalg
+
+        y = scipy.linalg.solve_triangular(h[:i, :i], g[:i], lower=False)
+        zmat = jnp.stack(z[:i], axis=1)
+        x = x + (zmat @ jnp.asarray(y))[:, None]
+
+        if breakdown_at is not None:
+            return x
+
+        r = b - a(x)
+        if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+            res_norm = float(jnp.max(jnp.abs(r)))
+        else:
+            res_norm = float(jnp.linalg.norm(r)) / beta
+        if res_norm < tolerance.tolerance:
+            break
+
+    return x
+
+
+def schwarz_ddm_solver_device(
+    matvec,
+    rhs,
+    m=None,
+    max_iterations: int = 100,
+    tolerance: FittingAccuracy = None,
+    callback: Optional[Progress] = None,
+):
+    """Device-resident stationary iteration s += M(r); r = b - A s."""
+    import jax.numpy as jnp
+
+    tolerance = tolerance or FittingAccuracy()
+    rhs = jnp.asarray(rhs).reshape(-1, 1)
+    rg = rhs
+    sg = jnp.zeros_like(rhs)
+
+    if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+        beta = float(jnp.max(jnp.abs(rg)))
+    else:
+        beta = float(jnp.linalg.norm(rg))
+    res_norm = beta
+    iteration = 0
+
+    if m is None:
+        return sg
+
+    while res_norm > tolerance.tolerance and iteration < max_iterations:
+        sg = sg + m(rg)
+        rg = rhs - matvec(sg)
+        if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+            res_norm = float(jnp.max(jnp.abs(rg)))
+        else:
+            res_norm = float(jnp.linalg.norm(rg)) / beta
+        iteration += 1
+        emit(
+            callback,
+            SolverIteration(
+                iter=iteration,
+                residual=res_norm,
+                progress=progress_from_rel(res_norm, beta, tolerance.tolerance),
+            ),
+        )
+
+    return sg
+
+
 def schwarz_ddm_solver(
     matvec: Callable[[np.ndarray], np.ndarray],
     rhs: np.ndarray,

@@ -7,10 +7,17 @@ as (FMM matvec at the source points) + nugget*w + P c, with the constraint
 block handled by the preconditioner's orthogonalisation; the system is
 solved per RHS column with restarted FGMRES (20 x 5) or the stationary DDM
 iteration, both right-preconditioned by the multilevel Schwarz hierarchy.
+
+Everything in the hot loop is device-resident: weight/residual vectors,
+the FMM passes (with per-level cached target binnings), the batched Schwarz
+leaf solves, the polynomial block, and the FGMRES basis. Only per-iteration
+scalars (Givens/Gram-Schmidt coefficients, residual norms) and the small
+coarse-domain rows cross the host boundary.
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Solvers
@@ -21,116 +28,134 @@ from .ddm import DDMTree
 from .schwarz import schwarz_preconditioner
 
 
-def iterative_fit(rbfi):
-    """Fit ``rbfi`` (an RBFInterpolator mid-construction) iteratively.
+class DeviceSystem:
+    """The device-resident saddle-point operator + Schwarz preconditioner."""
 
-    Returns a ``Coefficients``-compatible object; the caller splits nothing —
-    splitting into point/poly parts happens here.
-    """
+    def __init__(self, rbfi):
+        points = rbfi.points
+        settings = rbfi.interpolant_settings
+        params = rbfi.params
+        self.n, _d = points.shape
+        self.m = settings.basis_size
+        self.settings = settings
+
+        self.fmm_tree = FmmTree(
+            points,
+            params.fmm_params.interpolation_order,
+            settings.kernel_params(),
+            adaptive_tree=True,
+            sparse=True,
+            params=params.fmm_params,
+        )
+        self.fmm_tree.prepare_targets(points, "__all__")
+
+        self.monomial_matrix = None
+        self.monomial_dev = None
+        self.ortho_poly = None
+        if self.m != 0:
+            monomial_points = (
+                rbfi.global_trend.inverse_transform_points(points)
+                if rbfi.global_trend is not None
+                else points
+            )
+            self.monomial_matrix = evaluate_monomials(
+                monomial_points,
+                settings.polynomial_degree,
+                self.m,
+                rbfi.translation_factor,
+                rbfi.scale_factor,
+            )
+            self.monomial_dev = jnp.asarray(self.monomial_matrix)
+            self.ortho_poly, _ = np.linalg.qr(self.monomial_matrix)
+
+        self.ddm_tree = DDMTree(points, settings, params.ddm_params, rbfi.global_trend)
+
+        # per-level target binnings + device index arrays for the restricted
+        # matvecs the Schwarz sweep issues
+        self._level_idx = {}
+        for i, level in enumerate(self.ddm_tree.levels[:-1]):
+            idx = level.point_indices
+            self.fmm_tree.prepare_targets(points[idx], ("lvl", i))
+            self._level_idx[i] = jnp.asarray(idx)
+        coarse_idx = self.ddm_tree.levels[-1].point_indices
+        self.fmm_tree.prepare_targets(points[coarse_idx], ("lvl", "coarse"))
+        self._level_idx["coarse"] = jnp.asarray(coarse_idx)
+
+        self.nugget = settings.nugget
+
+    # -- operators ---------------------------------------------------------
+    def matvec(self, w):
+        """Full system operator, device in -> device out ((n+m, nrhs))."""
+        w = jnp.asarray(w)
+        wp = w[: self.n]
+        vals = self.fmm_tree.evaluate_device(wp, "__all__")
+        top = vals + self.nugget * wp
+        if self.monomial_dev is not None:
+            top = top + self.monomial_dev @ w[self.n :]
+            return jnp.concatenate([top, jnp.zeros((self.m, w.shape[1]))])
+        return top
+
+    def matvec_partial(self, w, level_key):
+        """Operator restricted to one Schwarz level's rows."""
+        if level_key is None:
+            return self.matvec(w)
+        w = jnp.asarray(w)
+        wp = w[: self.n]
+        idx = self._level_idx[level_key]
+        vals = self.fmm_tree.evaluate_device(wp, ("lvl", level_key))
+        rows = vals + self.nugget * wp[idx]
+        if self.monomial_dev is not None:
+            rows = rows + self.monomial_dev[idx] @ w[self.n :]
+        out = jnp.zeros_like(w)
+        return out.at[idx].set(rows)
+
+    def precon(self, residuals):
+        return schwarz_preconditioner(
+            residuals, self.ddm_tree, self.matvec_partial, self.settings, self.ortho_poly
+        )
+
+
+def iterative_fit(rbfi):
+    """Fit ``rbfi`` (an RBFInterpolator mid-construction) iteratively."""
     from ..models.rbf import Coefficients
 
-    points = rbfi.points
     values = rbfi.point_values
     settings = rbfi.interpolant_settings
     params = rbfi.params
-    n, _d = points.shape
-    m = settings.basis_size
     num_cols = values.shape[1]
 
-    fmm_tree = FmmTree(
-        points,
-        params.fmm_params.interpolation_order,
-        settings.kernel_params(),
-        adaptive_tree=True,
-        sparse=True,
-        params=params.fmm_params,
-    )
+    system = DeviceSystem(rbfi)
+    n, m = system.n, system.m
 
-    monomial_matrix = None
-    ortho_poly = None
     rhs = values
     if m != 0:
-        monomial_points = (
-            rbfi.global_trend.inverse_transform_points(points)
-            if rbfi.global_trend is not None
-            else points
-        )
-        monomial_matrix = evaluate_monomials(
-            monomial_points,
-            settings.polynomial_degree,
-            m,
-            rbfi.translation_factor,
-            rbfi.scale_factor,
-        )
-        ortho_poly, _ = np.linalg.qr(monomial_matrix)
         rhs = np.concatenate([values, np.zeros((m, num_cols))])
-
-    ddm_tree = DDMTree(
-        points, settings, params.ddm_params, rbfi.global_trend
-    )
-
-    nugget = settings.nugget
-
-    def matvec_partial(weights, target_indices=None):
-        w = np.asarray(weights, np.float64).reshape(-1, 1)
-        wp = w[:n]
-        fmm_tree.set_weights(wp)
-        if target_indices is None:
-            targets = points
-            key = "__all__"
-            idx = None
-        else:
-            idx = np.asarray(target_indices, np.int64)
-            targets = points[idx]
-            key = ("lvl", idx.shape[0], int(idx[0]) if idx.size else -1)
-        vals = fmm_tree.evaluate(wp, targets, reuse_key=key)
-        result = np.zeros_like(w)
-        if idx is None:
-            result[:n] = vals + nugget * wp
-            if monomial_matrix is not None:
-                result[:n] += monomial_matrix @ w[n:]
-        else:
-            result[idx] = vals + nugget * wp[idx]
-            if monomial_matrix is not None:
-                result[idx] += monomial_matrix[idx] @ w[n:]
-        return result
-
-    def matvec(weights):
-        return matvec_partial(weights, None)
-
-    def precon(residuals):
-        return schwarz_preconditioner(
-            np.asarray(residuals, np.float64).reshape(-1, 1),
-            ddm_tree,
-            matvec_partial,
-            settings,
-            ortho_poly,
-        )
 
     point_coefficients = np.zeros((n, num_cols))
     poly_coefficients = np.zeros((m, num_cols)) if m else None
 
     for col in range(num_cols):
+        b = jnp.asarray(rhs[:, col : col + 1])
         if params.solver_type == Solvers.FGMRES:
-            sol = solvers.fgmres(
-                matvec,
-                rhs[:, col : col + 1],
-                m=precon,
-                x0=None,
+            sol = solvers.fgmres_device(
+                system.matvec,
+                b,
+                m=system.precon,
                 max_outer_iterations=20,
                 max_inner_iterations=5,
                 tolerance=settings.fitting_accuracy,
                 callback=rbfi.progress_callback,
             )
         else:
-            sol = solvers.schwarz_ddm_solver(
-                matvec,
-                rhs[:, col : col + 1],
-                m=precon,
+            sol = solvers.schwarz_ddm_solver_device(
+                system.matvec,
+                b,
+                m=system.precon,
                 max_iterations=100,
                 tolerance=settings.fitting_accuracy,
                 callback=rbfi.progress_callback,
             )
+        sol = np.asarray(sol)
         point_coefficients[:, col] = sol[:n, 0]
         if m:
             poly_coefficients[:, col] = sol[n:, 0]

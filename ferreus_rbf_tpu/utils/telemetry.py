@@ -1,0 +1,100 @@
+"""Stage timing + profiling hooks (the reference's observability analogue).
+
+The reference reports coarse solve timing through its progress sink
+(``rbf.rs:325,390-409``) and streams per-iteration residuals; this module
+adds the TPU-side equivalents recommended in SURVEY.md section 5.1: named
+stage timers that accumulate into a report, and an optional
+``jax.profiler`` trace context for XLA-level inspection.
+
+Usage::
+
+    tracer = Tracer()
+    with tracer.stage("tree_build"):
+        ...
+    with tracer.stage("fgmres"):
+        ...
+    print(tracer.report())
+
+    with xla_trace("/tmp/ferreus-trace"):   # view in TensorBoard/XProf
+        rbfi.evaluate(targets)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import OrderedDict
+
+
+class Tracer:
+    """Accumulating named stage timers (host wall-clock)."""
+
+    def __init__(self):
+        self._totals = OrderedDict()
+        self._counts = OrderedDict()
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self._totals[name] = self._totals.get(name, 0.0) + dt
+            self._counts[name] = self._counts.get(name, 0) + 1
+
+    def add(self, name: str, seconds: float) -> None:
+        self._totals[name] = self._totals.get(name, 0.0) + seconds
+        self._counts[name] = self._counts.get(name, 0) + 1
+
+    @property
+    def totals(self) -> dict:
+        return dict(self._totals)
+
+    def report(self) -> str:
+        lines = ["stage                          calls      total"]
+        for name, total in self._totals.items():
+            lines.append(f"{name:<30} {self._counts[name]:>5} {total:>9.3f}s")
+        return "\n".join(lines)
+
+
+# A process-global tracer the library components write into when enabled.
+_GLOBAL_TRACER: Tracer | None = None
+
+
+def enable_global_tracer() -> Tracer:
+    global _GLOBAL_TRACER
+    _GLOBAL_TRACER = Tracer()
+    return _GLOBAL_TRACER
+
+
+def disable_global_tracer() -> None:
+    global _GLOBAL_TRACER
+    _GLOBAL_TRACER = None
+
+
+def global_tracer() -> Tracer | None:
+    return _GLOBAL_TRACER
+
+
+@contextlib.contextmanager
+def traced_stage(name: str):
+    """Record into the global tracer when enabled; no-op otherwise."""
+    tracer = _GLOBAL_TRACER
+    if tracer is None:
+        yield
+        return
+    with tracer.stage(name):
+        yield
+
+
+@contextlib.contextmanager
+def xla_trace(log_dir: str):
+    """Capture a jax.profiler trace (TensorBoard/XProf compatible)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
