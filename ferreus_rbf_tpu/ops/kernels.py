@@ -34,6 +34,7 @@ import dataclasses
 import enum
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,7 +159,35 @@ class Kernel:
         return k, diff * g[..., None]
 
 
+# TPUs have no f64 ALUs: XLA emulates f64, and emulated sqrt/divide are an
+# order of magnitude slower than mul/add chains (measured ~10x on v5e for
+# sqrt). The jnp paths therefore compute sqrt/rsqrt/reciprocal by an f32
+# hardware seed + Newton refinement in f64 mul/adds — ~5e-14 relative
+# accuracy, well below the BBFMM truncation error, at near mul/add cost.
+_F32_TINY = 1e-30
+
+
+def _rsqrt_refined(r2_safe):
+    """1/sqrt(x) for x >= _F32_TINY: f32 rsqrt seed + 2 f64 Newton steps."""
+    y = jax.lax.rsqrt(r2_safe.astype(jnp.float32)).astype(jnp.float64)
+    y = y * (1.5 - 0.5 * r2_safe * y * y)
+    y = y * (1.5 - 0.5 * r2_safe * y * y)
+    return y
+
+
+def _recip_refined(x_safe):
+    """1/x via f32 reciprocal seed + 2 f64 Newton steps (x bounded away
+    from 0 and f32 overflow by the caller's masking)."""
+    y = (1.0 / x_safe.astype(jnp.float32)).astype(jnp.float64)
+    y = y * (2.0 - x_safe * y)
+    y = y * (2.0 - x_safe * y)
+    return y
+
+
 def _safe_sqrt(xp, r2):
+    if xp is jnp:
+        v = jnp.maximum(r2, 0.0)
+        return v * _rsqrt_refined(jnp.maximum(v, _F32_TINY))
     return xp.sqrt(xp.maximum(r2, 0.0))
 
 
@@ -168,7 +197,17 @@ def _safe_log_r(xp, r2):
 
 
 def _safe_inv_r(xp, r2):
+    if xp is jnp:
+        return xp.where(r2 > _EPS, _rsqrt_refined(xp.where(r2 > _EPS, r2, 1.0)), 0.0)
     return xp.where(r2 > _EPS, 1.0 / _safe_sqrt(xp, xp.where(r2 > _EPS, r2, 1.0)), 0.0)
+
+
+def _safe_recip(xp, x, mask):
+    """1/x where mask, else 0; x replaced by 1 outside the mask."""
+    safe = xp.where(mask, x, 1.0)
+    if xp is jnp:
+        return xp.where(mask, _recip_refined(safe), 0.0)
+    return xp.where(mask, 1.0 / safe, 0.0)
 
 
 def _linear(xp) -> Kernel:
@@ -221,8 +260,11 @@ def _spheroidal(xp, order: int, base_range: float, total_sill: float) -> Kernel:
     def phi_r2(r2):
         sr2 = s2 * r2
         near = total_sill - near_slope * _safe_sqrt(xp, r2)
-        t = 1.0 + sr2
-        far = far_coef / (t**pw * xp.sqrt(t))
+        t = 1.0 + sr2  # >= 1, so reciprocal/rsqrt seeds are safe
+        if xp is jnp:
+            far = far_coef * _recip_refined(t**pw) * _rsqrt_refined(t)
+        else:
+            far = far_coef / (t**pw * xp.sqrt(t))
         return xp.where(sr2 <= ip2, near, far)
 
     def grad(r2):
@@ -230,7 +272,13 @@ def _spheroidal(xp, order: int, base_range: float, total_sill: float) -> Kernel:
         near_g = -near_slope * _safe_inv_r(xp, r2)
         p = pw + 0.5
         t = 1.0 + sr2
-        far_g = -2.0 * p * s2 * far_coef / t ** (p + 1.0)
+        if xp is jnp:
+            # t^(p+1) = t^(pw+1) * sqrt(t) with integer pw
+            far_g = (-2.0 * p * s2 * far_coef) * _recip_refined(
+                t ** (pw + 1)
+            ) * _rsqrt_refined(t)
+        else:
+            far_g = -2.0 * p * s2 * far_coef / t ** (p + 1.0)
         g = xp.where(sr2 <= ip2, near_g, far_g)
         return xp.where(r2 > _EPS, g, 0.0)
 
@@ -240,15 +288,22 @@ def _spheroidal(xp, order: int, base_range: float, total_sill: float) -> Kernel:
 def _inverse_power(xp, p: int) -> Kernel:
     # phi(r) = 1/r^p (0 at 0); grad factor = -p / r^(p+2)
     # (``non_rbf_kernels.rs``).
+    def _inv_pow(r2, q):
+        """r^-q (q possibly half-integer) where r2 > eps, else 0."""
+        mask = r2 > _EPS
+        safe = xp.where(mask, r2, 1.0)
+        if xp is jnp:
+            whole = _recip_refined(safe ** (q // 2)) if q // 2 else 1.0
+            half = _rsqrt_refined(safe) if q % 2 else 1.0
+            return xp.where(mask, whole * half, 0.0)
+        val = safe ** (-q / 2.0) if q % 2 else safe ** (-(q // 2))
+        return xp.where(mask, val, 0.0)
+
     def phi_r2(r2):
-        safe = xp.where(r2 > _EPS, r2, 1.0)
-        val = safe ** (-p / 2.0) if p % 2 else safe ** (-(p // 2))
-        return xp.where(r2 > _EPS, val, 0.0)
+        return _inv_pow(r2, p)
 
     def grad(r2):
-        safe = xp.where(r2 > _EPS, r2, 1.0)
-        val = -p * safe ** (-(p + 2) / 2.0) if (p + 2) % 2 else -p * safe ** (-((p + 2) // 2))
-        return xp.where(r2 > _EPS, val, 0.0)
+        return -p * _inv_pow(r2, p + 2)
 
     return Kernel(phi_r2, grad, xp, homogeneity=-float(p))
 
