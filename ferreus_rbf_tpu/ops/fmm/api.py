@@ -48,7 +48,8 @@ class KernelDoesNotSupportGradientsError(ValueError):
         )
 
 
-def _next_pow2(n: int) -> int:
+def _next_pow2(n) -> int:
+    n = int(n)
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
@@ -134,96 +135,80 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
 _l2p = _partial(jax.jit, static_argnames=("d", "p", "with_grads"))(_l2p_impl)
 
 
-def _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs, s_cap=None):
-    """One P2P chunk: phi(r2) tile contracted against source weights.
+def _row_chunk_scan(kernel, with_grads, tpts_rows, tmask_rows, src_pts, src_mask, src_w, chunk):
+    """Scan over row chunks: out[row] = sum_s phi(|t - s|) w_s, scatter-free.
 
-    ``s_cap`` statically truncates the source-bucket width: pairs are grouped
-    by source-leaf size class at bin time, so a mostly-small-leaf tree (the
-    realistic surface-data case) does not pay max-size padded tiles.
+    tpts_rows (R, T, d); src_pts (R, S, d); src_w (R, S, nrhs); R padded to a
+    multiple of ``chunk``. Returns (R, T, nrhs) values (+ gradients).
     """
-    vals_b, grads_b = carry
-    trows, srows = xs
-    tp = tpts[trows]
-    sidx = dev["src_bucket_idx"][srows]
-    sm = dev["src_bucket_mask"][srows]
-    if s_cap is not None:
-        sidx = sidx[:, :s_cap]
-        sm = sm[:, :s_cap]
-    sp = dev["pts_sorted"][sidx]
-    wv = jnp.where(sm[..., None], w_sorted[sidx], 0.0)
-    if with_grads:
-        k, g = kernel.pair_with_grad(tp, sp)
-        k = jnp.where(sm[:, None, :], k, 0.0)
-        g = jnp.where(sm[:, None, :, None], g, 0.0)
-        vals_b = vals_b.at[trows].add(jnp.einsum("mts,msr->mtr", k, wv))
-        grads_b = grads_b.at[trows].add(jnp.einsum("mtsd,msr->mtrd", g, wv))
-    else:
+
+    def body(_, xs):
+        tp, sp, sm, wv = xs
+        if with_grads:
+            k, g = kernel.pair_with_grad(tp, sp)
+            k = jnp.where(sm[:, None, :], k, 0.0)
+            g = jnp.where(sm[:, None, :, None], g, 0.0)
+            vals = jnp.einsum("cts,csr->ctr", k, wv)
+            grads = jnp.einsum("ctsd,csr->ctrd", g, wv)
+            return None, (vals, grads)
         k = jnp.where(sm[:, None, :], kernel.pair(tp, sp), 0.0)
-        vals_b = vals_b.at[trows].add(jnp.einsum("mts,msr->mtr", k, wv))
-    return (vals_b, grads_b), None
+        vals = jnp.einsum("cts,csr->ctr", k, wv)
+        return None, (vals, jnp.zeros(vals.shape + (tp.shape[-1],), jnp.float64))
+
+    r = tpts_rows.shape[0]
+    nc = r // chunk
+    resh = lambda a: a.reshape((nc, chunk) + a.shape[1:])
+    _, (vals, grads) = jax.lax.scan(
+        body, None, (resh(tpts_rows), resh(src_pts), resh(src_mask), resh(src_w))
+    )
+    return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
 
 
-@_partial(jax.jit, static_argnames=("kparams", "with_grads"))
-def _p2p_all(dev, tpts, p2p_t, p2p_s, w_sorted, vals_b, grads_b, *, kparams, with_grads):
-    """All near-field P2P work in ONE dispatch: lax.scan over fixed-size
-    chunks of the (target-bucket, source-bucket) pair list. The scan carry
-    is updated in place by XLA, so peak memory is a single chunk tile."""
-    kernel = make_kernel(kparams)
-
-    def body(carry, xs):
-        return _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs)
-
-    (vals_b, grads_b), _ = jax.lax.scan(body, (vals_b, grads_b), (p2p_t, p2p_s))
-    return vals_b, grads_b
-
-
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "s_classes", "with_grads"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-    p2p_groups, m2p_t, m2p_s, m2p_w, *, kparams, d, p, n_pad, s_classes, with_grads
+    p2p_groups, m2p_groups, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, with_grads
 ):
-    """The whole leaf pass (L2P + scanned per-size-class P2P + M2P +
-    unbucket) as ONE compiled program — one device dispatch per batch."""
+    """The whole leaf pass as ONE compiled program.
+
+    L2P is a direct bucket einsum. P2P and M2P are *target-row-major*: each
+    target bucket row owns the concatenation of its u-list source points
+    (resp. its w-list cells' Chebyshev nodes), padded to a power-of-two
+    class; each class runs as a scatter-free row-chunk scan whose stacked
+    outputs land with one unique-index add. No scatter appears in any loop.
+    """
     kernel = make_kernel(kparams)
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p, with_grads=with_grads
     )
-    for (p2p_t, p2p_s), s_cap in zip(p2p_groups, s_classes):
-        if p2p_t.shape[0] == 0:
-            continue
 
-        def body(carry, xs, _cap=s_cap):
-            return _p2p_body(dev, kernel, with_grads, tpts, w_sorted, carry, xs, s_cap=_cap)
-
-        (vals_b, grads_b), _ = jax.lax.scan(body, (vals_b, grads_b), (p2p_t, p2p_s))
-    if m2p_t.shape[0]:
-        vals_b, grads_b = _m2p_impl(
-            dev, tpts, m2p_t, m2p_s, m2p_w, mult, vals_b, grads_b,
-            kparams=kparams, with_grads=with_grads,
+    # P2P over concatenated neighbour-source tables
+    for (rows, sidx_tab, smask_tab), (_s_class, chunk) in zip(p2p_groups, p2p_meta):
+        sp = dev["pts_sorted"][sidx_tab]
+        wv = jnp.where(smask_tab[..., None], w_sorted[sidx_tab], 0.0)
+        vals, grads = _row_chunk_scan(
+            kernel, with_grads, tpts[rows], tgt_mask[rows], sp, smask_tab, wv, chunk
         )
+        vals_b = vals_b.at[rows].add(vals, mode="drop", unique_indices=True)
+        if with_grads:
+            grads_b = grads_b.at[rows].add(grads, mode="drop", unique_indices=True)
+
+    # M2P over concatenated w-cell Chebyshev-node tables
+    mult_flat = mult.reshape(-1, mult.shape[-1])
+    for (rows, nidx_tab, nmask_tab), (_w_class, chunk) in zip(m2p_groups, m2p_meta):
+        sp = dev["cell_nodes_flat"][nidx_tab]
+        wv = jnp.where(nmask_tab[..., None], mult_flat[nidx_tab], 0.0)
+        vals, grads = _row_chunk_scan(
+            kernel, with_grads, tpts[rows], tgt_mask[rows], sp, nmask_tab, wv, chunk
+        )
+        vals_b = vals_b.at[rows].add(vals, mode="drop", unique_indices=True)
+        if with_grads:
+            grads_b = grads_b.at[rows].add(grads, mode="drop", unique_indices=True)
+
     return _unbucket_impl(
         tgt_idx, tgt_mask, vals_b, grads_b, n_pad=n_pad, d=d, with_grads=with_grads
     )
 
-
-def _m2p_impl(dev, tpts, trows, wcells, wvalid, mult, vals_b, grads_b, *, kparams, with_grads):
-    kernel = make_kernel(kparams)
-    nodes_scaled = cheb.scale_nodes_to_cell(
-        dev["nodes_nd"], dev["cell_centers"][wcells], dev["cell_lengths"][wcells], xp=jnp
-    )
-    tp = tpts[trows]
-    mvals = mult[wcells] * wvalid[:, None, None]
-    if with_grads:
-        k, g = kernel.pair_with_grad(tp, nodes_scaled)
-        vals_b = vals_b.at[trows].add(jnp.einsum("mtp,mpr->mtr", k, mvals))
-        grads_b = grads_b.at[trows].add(jnp.einsum("mtpd,mpr->mtrd", g, mvals))
-    else:
-        k = kernel.pair(tp, nodes_scaled)
-        vals_b = vals_b.at[trows].add(jnp.einsum("mtp,mpr->mtr", k, mvals))
-    return vals_b, grads_b
-
-
-_m2p = _partial(jax.jit, static_argnames=("kparams", "with_grads"))(_m2p_impl)
 
 
 def _unbucket_impl(tgt_idx, tgt_mask, vals_b, grads_b, *, n_pad, d, with_grads):
@@ -461,6 +446,15 @@ class FmmTree:
             "nodes_nd": jnp.asarray(self.nodes_nd),
             "cell_centers": jnp.asarray(self.cell_centers),
             "cell_lengths": jnp.asarray(self.cell_lengths),
+            # every cell's Chebyshev nodes in world coordinates, flattened to
+            # (ncells * p^d, d) for the M2P concatenated-node gathers
+            "cell_nodes_flat": jnp.asarray(
+                cheb.scale_nodes_to_cell(
+                    self.nodes_nd,
+                    self.cell_centers,
+                    self.cell_lengths,
+                )
+            ).reshape(-1, d),
         }
 
         self._dev["nodes_t"] = jnp.asarray(self.nodes_t)
@@ -500,7 +494,13 @@ class FmmTree:
         return new
 
     def _bin_targets(self, target_points, reuse_key=None):
-        """Host-side target bucketing with high-water-mark shape padding."""
+        """Host-side target bucketing with high-water-mark shape padding.
+
+        Builds, per target bucket row, the concatenated u-list source-point
+        index table and the concatenated w-list Chebyshev-node index table,
+        each grouped into power-of-two width classes for the scatter-free
+        row-major near-field scans.
+        """
         if reuse_key is not None and reuse_key in self._target_cache:
             return self._target_cache[reuse_key]
 
@@ -515,104 +515,101 @@ class FmmTree:
         # fixed bucket width: leaves holding more targets span several rows
         tmax = self._tmax
         rows = []
+        row_cell = []
         for i in range(tcells_u.size):
             lo, hi = offsets[i], offsets[i + 1]
             for start in range(lo, hi, tmax):
-                rows.append((tcells_u[i], order[start : min(start + tmax, hi)]))
+                rows.append(order[start : min(start + tmax, hi)])
+                row_cell.append(int(tcells_u[i]))
 
         ntl = len(rows)
         ntl_pad = self._hwm_pad("ntl", ntl)
         tgt_idx = np.zeros((ntl_pad, tmax), np.int64)
         tgt_mask = np.zeros((ntl_pad, tmax), bool)
         tcells_pad = np.zeros(ntl_pad, np.int64)
-        for i, (cell, idxs) in enumerate(rows):
+        for i, idxs in enumerate(rows):
             tgt_idx[i, : idxs.size] = idxs
             tgt_mask[i, : idxs.size] = True
-            tcells_pad[i] = cell
+            tcells_pad[i] = row_cell[i]
 
-        # P2P / M2P pairs reference bucket ROWS (a leaf may span several)
-        cell_rows: dict[int, list] = {}
-        for i, (cell, _idxs) in enumerate(rows):
-            cell_rows.setdefault(int(cell), []).append(i)
-
-        def pairs_for(sorted_pairs, map_src):
-            lohi = np.searchsorted(
-                sorted_pairs[:, 0], np.stack([tcells_u, tcells_u + 1], 1)
+        # --- per-CELL concatenated source / node index lists --------------
+        t = self.tree
+        loff = t.leaf_offsets
+        cell_src_concat = {}
+        cell_node_concat = {}
+        nnodes = self.nnodes
+        for cell in tcells_u:
+            lohi = np.searchsorted(self._u_sorted[:, 0], [cell, cell + 1])
+            scat = self._u_sorted[lohi[0] : lohi[1], 1]
+            srows = self.cell_to_src_row[scat]
+            srows = srows[srows >= 0]
+            parts = [np.arange(loff[r], loff[r + 1]) for r in srows]
+            cell_src_concat[int(cell)] = (
+                np.concatenate(parts) if parts else np.zeros(0, np.int64)
             )
-            trows_out = []
-            s_out = []
-            for i, cell in enumerate(tcells_u):
-                lo, hi = lohi[i]
-                if hi <= lo:
+            lohi = np.searchsorted(self._w_sorted[:, 0], [cell, cell + 1])
+            wcat = self._w_sorted[lohi[0] : lohi[1], 1]
+            wcat = wcat[t.has_points[wcat]]
+            if wcat.size:
+                cell_node_concat[int(cell)] = (
+                    wcat[:, None] * nnodes + np.arange(nnodes)[None, :]
+                ).reshape(-1)
+            else:
+                cell_node_concat[int(cell)] = np.zeros(0, np.int64)
+
+        def build_groups(concat_map, kind):
+            """Group rows by pow2 width class; build padded index tables."""
+            widths = np.array([concat_map[c].size for c in row_cell], np.int64)
+            groups = []
+            meta = []
+            for w_class in sorted({int(_next_pow2(max(w, 1))) for w in widths if w > 0}):
+                sel = np.nonzero(
+                    (widths > 0)
+                    & (np.maximum(widths, 1) <= w_class)
+                    & (np.maximum(widths, 1) > w_class // 2)
+                )[0]
+                if sel.size == 0:
                     continue
-                scat = sorted_pairs[lo:hi, 1]
-                if map_src:
-                    srows = self.cell_to_src_row[scat]
-                    srows = srows[srows >= 0]
-                else:
-                    srows = scat[self.tree.has_points[scat]]
-                for r in cell_rows[int(cell)]:
-                    trows_out.append(np.full(srows.size, r, np.int64))
-                    s_out.append(srows)
-            if trows_out:
-                return np.concatenate(trows_out), np.concatenate(s_out)
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+                chunk = max(1, int(2**22 // max(tmax * w_class, 1)))
+                g = self._hwm_pad(f"{kind}_rows_{w_class}", sel.size)
+                g = ((g + chunk - 1) // chunk) * chunk
+                rsel = np.full(g, ntl_pad, np.int64)  # out-of-range: dropped
+                rsel[: sel.size] = sel
+                tab = np.zeros((g, w_class), np.int64)
+                mask = np.zeros((g, w_class), bool)
+                for j, ri in enumerate(sel):
+                    cc = concat_map[row_cell[ri]]
+                    tab[j, : cc.size] = cc
+                    mask[j, : cc.size] = True
+                groups.append(
+                    (jnp.asarray(rsel), jnp.asarray(tab), jnp.asarray(mask))
+                )
+                meta.append((w_class, chunk))
+            return tuple(groups), tuple(meta)
 
-        p2p_t, p2p_s = pairs_for(self._u_sorted, map_src=True)
-        m2p_t, m2p_s = pairs_for(self._w_sorted, map_src=False)
-
-        # group P2P pairs by source-leaf size class (power-of-two widths) so
-        # each scan contracts tiles of roughly the right source width
-        p2p_groups = []
-        s_classes = []
-        if p2p_t.size:
-            src_counts = self._src_counts[p2p_s]
-            cls = np.maximum(8, 1 << np.ceil(np.log2(np.maximum(src_counts, 1))).astype(np.int64))
-            np.minimum(cls, self.smax, out=cls)
-            for s_cap in sorted(set(cls.tolist())):
-                sel = cls == s_cap
-                gt, gs = p2p_t[sel], p2p_s[sel]
-                chunk = max(1, int(2**23 // max(tmax * s_cap, 1)))
-                nchunks = self._hwm_pad(f"nchunks_{s_cap}", (gt.size + chunk - 1) // chunk)
-                pad = nchunks * chunk - gt.size
-                gt = np.concatenate([gt, np.zeros(pad, np.int64)])
-                gs = np.concatenate([gs, np.full(pad, self.nsl, np.int64)])
-                p2p_groups.append((gt.reshape(-1, chunk), gs.reshape(-1, chunk)))
-                s_classes.append(int(s_cap))
-
-        m2p_valid = m2p_t.size
-        if m2p_valid:
-            m2p_pad = self._hwm_pad("m2p", m2p_valid)
-            pad = m2p_pad - m2p_valid
-            m2p_w = np.concatenate([np.ones(m2p_valid), np.zeros(pad)])
-            m2p_t = np.concatenate([m2p_t, np.zeros(pad, np.int64)])
-            m2p_s = np.concatenate([m2p_s, np.zeros(pad, np.int64)])
-        else:
-            m2p_w = np.zeros(0)
+        p2p_groups, p2p_meta = build_groups(cell_src_concat, "p2p")
+        m2p_groups, m2p_meta = build_groups(cell_node_concat, "m2p")
 
         n_pad = self._hwm_pad("n", n)
         targets_pad = np.zeros((n_pad, targets.shape[1]))
         targets_pad[:n] = targets
 
-        # arrays go to the device once; cached binnings keep them resident
         binned = {
             "targets_pad": jnp.asarray(targets_pad),
             "tcells": jnp.asarray(tcells_pad),
             "tgt_idx": jnp.asarray(tgt_idx),
             "tgt_mask": jnp.asarray(tgt_mask),
-            "p2p_groups": tuple(
-                (jnp.asarray(gt), jnp.asarray(gs)) for gt, gs in p2p_groups
-            ),
-            "s_classes": tuple(s_classes),
-            "m2p_t": jnp.asarray(m2p_t),
-            "m2p_s": jnp.asarray(m2p_s),
-            "m2p_w": jnp.asarray(m2p_w),
+            "p2p_groups": p2p_groups,
+            "p2p_meta": p2p_meta,
+            "m2p_groups": m2p_groups,
+            "m2p_meta": m2p_meta,
             "n_pad": n_pad,
             "ntargets": n,
         }
         if reuse_key is not None:
             self._target_cache[reuse_key] = binned
         return binned
+
 
     def _leaf_pass(self, targets, binned, with_grads: bool):
         """Fused leaf pass; returns host arrays."""
@@ -642,14 +639,13 @@ class FmmTree:
             self._multipole,
             self._weights_sorted,
             binned["p2p_groups"],
-            binned["m2p_t"],
-            binned["m2p_s"],
-            binned["m2p_w"],
+            binned["m2p_groups"],
             kparams=self.kernel_params,
             d=self.d,
             p=self.p,
             n_pad=binned["n_pad"],
-            s_classes=binned["s_classes"],
+            p2p_meta=binned["p2p_meta"],
+            m2p_meta=binned["m2p_meta"],
             with_grads=with_grads,
         )
 
