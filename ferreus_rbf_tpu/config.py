@@ -98,6 +98,12 @@ class Params:
     naive_solve_threshold: int = 4096
     test_unique: bool = True
 
+    # TPU-specific: run the solver's inner iterations with float32 FMM
+    # contractions and recover full f64 accuracy by iterative refinement on
+    # exact f64 residuals (TPUs emulate f64 at ~10x the cost of f32; the
+    # refined solve converges to the same tolerance, measured in f64).
+    mixed_precision: bool = True
+
     @classmethod
     def builder(cls, kernel_type: RBFKernelType) -> "ParamsBuilder":
         return ParamsBuilder(kernel_type)
@@ -113,6 +119,7 @@ class Params:
             "fmm_params": self.fmm_params.to_dict(),
             "naive_solve_threshold": self.naive_solve_threshold,
             "test_unique": self.test_unique,
+            "mixed_precision": self.mixed_precision,
         }
 
     @classmethod
@@ -123,6 +130,7 @@ class Params:
             fmm_params=FmmParams.from_dict(d["fmm_params"]),
             naive_solve_threshold=d["naive_solve_threshold"],
             test_unique=d["test_unique"],
+            mixed_precision=d.get("mixed_precision", True),
         )
 
 

@@ -78,21 +78,29 @@ def _upward(dev, weights):
     return mult, w_sorted
 
 
-@_partial(jax.jit, static_argnames=("kparams",))
-def _downward(dev, mult, w_sorted, *, kparams):
-    kernel = make_kernel(kparams)
-    """Full-tree downward pass: M2L + P2L, then L2L top-down."""
-    local = jnp.zeros_like(mult)
+@_partial(jax.jit, static_argnames=("kparams", "prec"))
+def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
+    """Full-tree downward pass: M2L + P2L, then L2L top-down.
+
+    ``prec="f32"`` runs the M2L/P2L/L2L matmuls in float32 (the
+    mixed-precision solver's inner-iteration mode); the result is upcast at
+    the end so downstream code always sees f64.
+    """
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    kernel = make_kernel(kparams, dtype=ct)
+    mult_c = mult.astype(ct)
+    local = jnp.zeros_like(mult_c)
     perm_idx = dev["perm_idx"]
     inv_perm = dev["inv_perm"]
     for u_op, vt_op, tgt, src, perm in dev["m2l_groups"]:
-        x = mult[src]  # (m, p^d, r)
+        x = mult_c[src]  # (m, p^d, r)
         rows = perm_idx[perm]
         xp_ = jnp.take_along_axis(x, rows[:, :, None], axis=1)
+        u_c = u_op.astype(ct)
         if vt_op is None:
-            y = jnp.einsum("pq,mqr->mpr", u_op, xp_)
+            y = jnp.einsum("pq,mqr->mpr", u_c, xp_)
         else:
-            y = jnp.einsum("pk,mkr->mpr", u_op, jnp.einsum("kq,mqr->mkr", vt_op, xp_))
+            y = jnp.einsum("pk,mkr->mpr", u_c, jnp.einsum("kq,mqr->mkr", vt_op.astype(ct), xp_))
         y = jnp.take_along_axis(y, inv_perm[perm][:, :, None], axis=1)
         local = local.at[tgt].add(y)
 
@@ -103,16 +111,15 @@ def _downward(dev, mult, w_sorted, *, kparams):
         sidx = dev["src_bucket_idx"][src_row]
         smask = dev["src_bucket_mask"][src_row]
         spts = dev["pts_sorted"][sidx]
-        k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), 0.0)
-        wvals = jnp.where(smask[..., None], w_sorted[sidx], 0.0)
+        k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), ct(0.0))
+        wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
         local = local.at[tgt].add(jnp.einsum("mps,msr->mpr", k, wvals))
 
+    m2m_c = dev["m2m_ops"].astype(ct)
     for per_octant in dev["l2l_groups"]:
         for o, (ch, pa) in enumerate(per_octant):
-            local = local.at[ch].add(
-                jnp.einsum("pq,cpr->cqr", dev["m2m_ops"][o], local[pa])
-            )
-    return local
+            local = local.at[ch].add(jnp.einsum("pq,cpr->cqr", m2m_c[o], local[pa]))
+    return local.astype(jnp.float64)
 
 
 def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads):
@@ -164,10 +171,11 @@ def _row_chunk_scan(kernel, with_grads, tpts_rows, tmask_rows, src_pts, src_mask
     return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
 
 
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-    p2p_groups, m2p_groups, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, with_grads
+    p2p_groups, m2p_groups, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, with_grads,
+    prec="f64",
 ):
     """The whole leaf pass as ONE compiled program.
 
@@ -177,33 +185,34 @@ def _leaf_all(
     class; each class runs as a scatter-free row-chunk scan whose stacked
     outputs land with one unique-index add. No scatter appears in any loop.
     """
-    kernel = make_kernel(kparams)
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    kernel = make_kernel(kparams, dtype=ct)
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p, with_grads=with_grads
     )
 
     # P2P over concatenated neighbour-source tables
     for (rows, sidx_tab, smask_tab), (_s_class, chunk) in zip(p2p_groups, p2p_meta):
-        sp = dev["pts_sorted"][sidx_tab]
-        wv = jnp.where(smask_tab[..., None], w_sorted[sidx_tab], 0.0)
+        sp = dev["pts_sorted"][sidx_tab].astype(ct)
+        wv = jnp.where(smask_tab[..., None], w_sorted[sidx_tab].astype(ct), ct(0.0))
         vals, grads = _row_chunk_scan(
-            kernel, with_grads, tpts[rows], tgt_mask[rows], sp, smask_tab, wv, chunk
+            kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, smask_tab, wv, chunk
         )
-        vals_b = vals_b.at[rows].add(vals, mode="drop", unique_indices=True)
+        vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:
-            grads_b = grads_b.at[rows].add(grads, mode="drop", unique_indices=True)
+            grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
     # M2P over concatenated w-cell Chebyshev-node tables
-    mult_flat = mult.reshape(-1, mult.shape[-1])
+    mult_flat = mult.reshape(-1, mult.shape[-1]).astype(ct)
     for (rows, nidx_tab, nmask_tab), (_w_class, chunk) in zip(m2p_groups, m2p_meta):
-        sp = dev["cell_nodes_flat"][nidx_tab]
-        wv = jnp.where(nmask_tab[..., None], mult_flat[nidx_tab], 0.0)
+        sp = dev["cell_nodes_flat"][nidx_tab].astype(ct)
+        wv = jnp.where(nmask_tab[..., None], mult_flat[nidx_tab], ct(0.0))
         vals, grads = _row_chunk_scan(
-            kernel, with_grads, tpts[rows], tgt_mask[rows], sp, nmask_tab, wv, chunk
+            kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, nmask_tab, wv, chunk
         )
-        vals_b = vals_b.at[rows].add(vals, mode="drop", unique_indices=True)
+        vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:
-            grads_b = grads_b.at[rows].add(grads, mode="drop", unique_indices=True)
+            grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
     return _unbucket_impl(
         tgt_idx, tgt_mask, vals_b, grads_b, n_pad=n_pad, d=d, with_grads=with_grads
@@ -628,7 +637,7 @@ class FmmTree:
         """Bind a named target set for the device-resident matvec path."""
         self._bin_targets(target_points, reuse_key)
 
-    def _leaf_pass_device(self, binned, with_grads: bool):
+    def _leaf_pass_device(self, binned, with_grads: bool, prec: str = "f64"):
         return _leaf_all(
             self._dev,
             binned["targets_pad"],
@@ -647,20 +656,24 @@ class FmmTree:
             p2p_meta=binned["p2p_meta"],
             m2p_meta=binned["m2p_meta"],
             with_grads=with_grads,
+            prec=prec,
         )
 
-    def evaluate_device(self, weights_dev, reuse_key):
+    def evaluate_device(self, weights_dev, reuse_key, precision: str = "f64"):
         """Full matvec at a prepared target set, device in -> device out.
 
         No host transfers: intended for the solver hot loop where weights,
-        values and residuals all live in HBM.
+        values and residuals all live in HBM. ``precision="f32"`` runs the
+        M2L/P2P/M2P contractions in float32 (~1e-6 relative), the inner mode
+        of the mixed-precision refined solver; "f64" is exact.
         """
         binned = self._target_cache[reuse_key]
         self._multipole, self._weights_sorted = _upward(self._dev, weights_dev)
         self._local = _downward(
-            self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params
+            self._dev, self._multipole, self._weights_sorted,
+            kparams=self.kernel_params, prec=precision,
         )
-        vals, _ = self._leaf_pass_device(binned, with_grads=False)
+        vals, _ = self._leaf_pass_device(binned, with_grads=False, prec=precision)
         return vals[: binned["ntargets"]]
 
     def evaluate(self, weights, target_points, reuse_key=None) -> np.ndarray:

@@ -118,24 +118,26 @@ class Kernel:
         xp,
         supports_gradients: bool = True,
         homogeneity: float | None = None,
+        dtype=None,
     ):
         self.phi_r2 = phi_r2
         self.grad_scale_r2 = grad_scale_r2
         self.xp = xp
+        self.dtype = dtype if dtype is not None else xp.float64
         self.supports_gradients = supports_gradients
         # Homogeneity degree n such that phi(a*r) = a^n phi(r); None when the
         # kernel is not homogeneous (spheroidal) or log-homogeneous (TPS).
         self.homogeneity = homogeneity
 
     def phi(self, r):
-        r = self.xp.asarray(r, dtype=self.xp.float64)
+        r = self.xp.asarray(r, dtype=self.dtype)
         return self.phi_r2(r * r)
 
     def pair_r2(self, targets, sources):
         """Pairwise squared distances r2[i, j] = |t_i - s_j|^2."""
         xp = self.xp
-        t = xp.asarray(targets, dtype=xp.float64)
-        s = xp.asarray(sources, dtype=xp.float64)
+        t = xp.asarray(targets, dtype=self.dtype)
+        s = xp.asarray(sources, dtype=self.dtype)
         diff = t[..., :, None, :] - s[..., None, :, :]
         return xp.sum(diff * diff, axis=-1)
 
@@ -150,8 +152,8 @@ class Kernel:
         ``G[i, j, d] = d/dt_d phi(t_i - s_j)``.
         """
         xp = self.xp
-        t = xp.asarray(targets, dtype=xp.float64)
-        s = xp.asarray(sources, dtype=xp.float64)
+        t = xp.asarray(targets, dtype=self.dtype)
+        s = xp.asarray(sources, dtype=self.dtype)
         diff = t[..., :, None, :] - s[..., None, :, :]
         r2 = xp.sum(diff * diff, axis=-1)
         k = self.phi_r2(r2)
@@ -169,6 +171,8 @@ _F32_TINY = 1e-30
 
 def _rsqrt_refined(r2_safe):
     """1/sqrt(x) for x >= _F32_TINY: f32 rsqrt seed + 2 f64 Newton steps."""
+    if r2_safe.dtype == jnp.float32:
+        return jax.lax.rsqrt(r2_safe)
     y = jax.lax.rsqrt(r2_safe.astype(jnp.float32)).astype(jnp.float64)
     y = y * (1.5 - 0.5 * r2_safe * y * y)
     y = y * (1.5 - 0.5 * r2_safe * y * y)
@@ -178,6 +182,8 @@ def _rsqrt_refined(r2_safe):
 def _recip_refined(x_safe):
     """1/x via f32 reciprocal seed + 2 f64 Newton steps (x bounded away
     from 0 and f32 overflow by the caller's masking)."""
+    if x_safe.dtype == jnp.float32:
+        return 1.0 / x_safe
     y = (1.0 / x_safe.astype(jnp.float32)).astype(jnp.float64)
     y = y * (2.0 - x_safe * y)
     y = y * (2.0 - x_safe * y)
@@ -186,6 +192,8 @@ def _recip_refined(x_safe):
 
 def _safe_sqrt(xp, r2):
     if xp is jnp:
+        if r2.dtype == jnp.float32:
+            return jnp.sqrt(jnp.maximum(r2, 0.0))
         v = jnp.maximum(r2, 0.0)
         return v * _rsqrt_refined(jnp.maximum(v, _F32_TINY))
     return xp.sqrt(xp.maximum(r2, 0.0))
@@ -198,7 +206,10 @@ def _safe_log_r(xp, r2):
 
 def _safe_inv_r(xp, r2):
     if xp is jnp:
-        return xp.where(r2 > _EPS, _rsqrt_refined(xp.where(r2 > _EPS, r2, 1.0)), 0.0)
+        safe = xp.where(r2 > _EPS, r2, 1.0)
+        if r2.dtype == jnp.float32:
+            return xp.where(r2 > _EPS, jax.lax.rsqrt(safe), 0.0)
+        return xp.where(r2 > _EPS, _rsqrt_refined(safe), 0.0)
     return xp.where(r2 > _EPS, 1.0 / _safe_sqrt(xp, xp.where(r2 > _EPS, r2, 1.0)), 0.0)
 
 
@@ -308,27 +319,33 @@ def _inverse_power(xp, p: int) -> Kernel:
     return Kernel(phi_r2, grad, xp, homogeneity=-float(p))
 
 
-def make_kernel(params: KernelParams, xp=jnp) -> Kernel:
+def make_kernel(params: KernelParams, xp=jnp, dtype=None) -> Kernel:
     """KernelParams -> concrete kernel (mirrors ``KernelFromParams``).
 
     ``xp=jnp`` (default) builds device closures; ``xp=numpy`` the host twin.
+    ``dtype=jnp.float32`` builds the reduced-precision variant used by the
+    mixed-precision solver's inner iterations.
     """
     kt = params.kernel_type
     if kt == KernelType.LinearRbf:
-        return _linear(xp)
-    if kt == KernelType.ThinPlateSplineRbf:
-        return _tps(xp)
-    if kt == KernelType.CubicRbf:
-        return _cubic(xp)
-    if kt in _SPHEROIDAL_ORDER:
-        return _spheroidal(xp, _SPHEROIDAL_ORDER[kt], params.base_range, params.total_sill)
-    if kt == KernelType.Laplacian:
-        return _inverse_power(xp, 1)
-    if kt == KernelType.OneOverR2:
-        return _inverse_power(xp, 2)
-    if kt == KernelType.OneOverR4:
-        return _inverse_power(xp, 4)
-    raise ValueError(f"Unknown kernel type {kt}")
+        k = _linear(xp)
+    elif kt == KernelType.ThinPlateSplineRbf:
+        k = _tps(xp)
+    elif kt == KernelType.CubicRbf:
+        k = _cubic(xp)
+    elif kt in _SPHEROIDAL_ORDER:
+        k = _spheroidal(xp, _SPHEROIDAL_ORDER[kt], params.base_range, params.total_sill)
+    elif kt == KernelType.Laplacian:
+        k = _inverse_power(xp, 1)
+    elif kt == KernelType.OneOverR2:
+        k = _inverse_power(xp, 2)
+    elif kt == KernelType.OneOverR4:
+        k = _inverse_power(xp, 4)
+    else:
+        raise ValueError(f"Unknown kernel type {kt}")
+    if dtype is not None:
+        k.dtype = dtype
+    return k
 
 
 def kernel_phi(r, params: KernelParams, xp=jnp):

@@ -269,6 +269,76 @@ def fgmres_device(
     return x
 
 
+def refined_fgmres_device(
+    a_f64,
+    a_f32,
+    b,
+    m=None,
+    max_outer_iterations: int = 20,
+    max_inner_iterations: int = 5,
+    tolerance: FittingAccuracy = None,
+    callback: Optional[Progress] = None,
+    max_refinements: int = 8,
+):
+    """Mixed-precision FGMRES with f64 iterative refinement.
+
+    TPUs emulate f64 at roughly an order of magnitude over f32, so the inner
+    Krylov iterations run with the float32 operator ``a_f32`` (whose ~1e-6
+    relative error caps what one inner solve can achieve), while the OUTER
+    loop computes exact f64 residuals with ``a_f64`` and re-solves for the
+    correction — classical iterative refinement. Stopping is measured on the
+    f64 residual with the reference's exact semantics (Absolute -> max-norm,
+    Relative -> l2/beta), so the converged solution matches the pure-f64
+    solve at the requested tolerance.
+    """
+    import jax.numpy as jnp
+
+    tolerance = tolerance or FittingAccuracy()
+    b = jnp.asarray(b).reshape(-1, 1)
+    x = jnp.zeros_like(b)
+
+    if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+        beta = float(jnp.max(jnp.abs(b)))
+    else:
+        beta = float(jnp.linalg.norm(b))
+    if beta == 0.0:
+        return x
+
+    # each f32 inner solve can reliably reduce its own residual ~1e-5
+    inner_drop = 1e-5
+
+    for _refine in range(max_refinements):
+        r = b - a_f64(x)
+        if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+            res = float(jnp.max(jnp.abs(r)))
+            rel = res / max(beta, 1e-300)
+        else:
+            res = float(jnp.linalg.norm(r)) / beta
+            rel = res
+        if res < tolerance.tolerance:
+            break
+
+        # inner relative tolerance: enough to finish if possible, else the
+        # f32 floor
+        remaining = tolerance.tolerance / max(res, 1e-300)
+        if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+            # absolute outer tolerance -> relative inner target on r
+            remaining = tolerance.tolerance / max(float(jnp.linalg.norm(r)), 1e-300)
+        inner_tol = max(inner_drop, 0.3 * remaining)
+        dx = fgmres_device(
+            a_f32,
+            r,
+            m=m,
+            max_outer_iterations=max_outer_iterations,
+            max_inner_iterations=max_inner_iterations,
+            tolerance=FittingAccuracy(inner_tol, FittingAccuracyType.Relative),
+            callback=callback,
+        )
+        x = x + dx
+
+    return x
+
+
 def schwarz_ddm_solver_device(
     matvec,
     rhs,

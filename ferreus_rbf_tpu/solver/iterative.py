@@ -84,25 +84,32 @@ class DeviceSystem:
         self.nugget = settings.nugget
 
     # -- operators ---------------------------------------------------------
-    def matvec(self, w):
+    def matvec(self, w, precision="f64"):
         """Full system operator, device in -> device out ((n+m, nrhs))."""
         w = jnp.asarray(w)
         wp = w[: self.n]
-        vals = self.fmm_tree.evaluate_device(wp, "__all__")
+        vals = self.fmm_tree.evaluate_device(wp, "__all__", precision=precision)
         top = vals + self.nugget * wp
         if self.monomial_dev is not None:
             top = top + self.monomial_dev @ w[self.n :]
             return jnp.concatenate([top, jnp.zeros((self.m, w.shape[1]))])
         return top
 
-    def matvec_partial(self, w, level_key):
-        """Operator restricted to one Schwarz level's rows."""
+    def matvec_f32(self, w):
+        return self.matvec(w, precision="f32")
+
+    def matvec_partial(self, w, level_key, precision="f32"):
+        """Operator restricted to one Schwarz level's rows.
+
+        Preconditioner-internal residual updates default to f32: a flexible
+        (right-preconditioned) Krylov method tolerates an inexact M.
+        """
         if level_key is None:
             return self.matvec(w)
         w = jnp.asarray(w)
         wp = w[: self.n]
         idx = self._level_idx[level_key]
-        vals = self.fmm_tree.evaluate_device(wp, ("lvl", level_key))
+        vals = self.fmm_tree.evaluate_device(wp, ("lvl", level_key), precision=precision)
         rows = vals + self.nugget * wp[idx]
         if self.monomial_dev is not None:
             rows = rows + self.monomial_dev[idx] @ w[self.n :]
@@ -137,15 +144,27 @@ def iterative_fit(rbfi):
     for col in range(num_cols):
         b = jnp.asarray(rhs[:, col : col + 1])
         if params.solver_type == Solvers.FGMRES:
-            sol = solvers.fgmres_device(
-                system.matvec,
-                b,
-                m=system.precon,
-                max_outer_iterations=20,
-                max_inner_iterations=5,
-                tolerance=settings.fitting_accuracy,
-                callback=rbfi.progress_callback,
-            )
+            if params.mixed_precision:
+                sol = solvers.refined_fgmres_device(
+                    system.matvec,
+                    system.matvec_f32,
+                    b,
+                    m=system.precon,
+                    max_outer_iterations=20,
+                    max_inner_iterations=5,
+                    tolerance=settings.fitting_accuracy,
+                    callback=rbfi.progress_callback,
+                )
+            else:
+                sol = solvers.fgmres_device(
+                    system.matvec,
+                    b,
+                    m=system.precon,
+                    max_outer_iterations=20,
+                    max_inner_iterations=5,
+                    tolerance=settings.fitting_accuracy,
+                    callback=rbfi.progress_callback,
+                )
         else:
             sol = solvers.schwarz_ddm_solver_device(
                 system.matvec,
