@@ -220,6 +220,23 @@ def _leaf_all(
 
 
 
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec"))
+def _matvec_fused(
+    dev, weights, targets, tgt_idx, tgt_mask, tcells, p2p_groups, m2p_groups,
+    *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec
+):
+    """Upward + downward + leaf pass as ONE program (one queue entry over
+    the host->device link per solver matvec)."""
+    mult, w_sorted = _upward(dev, weights)
+    local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
+    vals, _ = _leaf_all(
+        dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
+        p2p_groups, m2p_groups, kparams=kparams, d=d, p=p, n_pad=n_pad,
+        p2p_meta=p2p_meta, m2p_meta=m2p_meta, with_grads=False, prec=prec,
+    )
+    return vals, mult, local, w_sorted
+
+
 def _unbucket_impl(tgt_idx, tgt_mask, vals_b, grads_b, *, n_pad, d, with_grads):
     # n_pad is the power-of-two padded target count: the true count is
     # sliced off on the host so distinct batch sizes reuse one program.
@@ -662,18 +679,31 @@ class FmmTree:
     def evaluate_device(self, weights_dev, reuse_key, precision: str = "f64"):
         """Full matvec at a prepared target set, device in -> device out.
 
-        No host transfers: intended for the solver hot loop where weights,
-        values and residuals all live in HBM. ``precision="f32"`` runs the
-        M2L/P2P/M2P contractions in float32 (~1e-6 relative), the inner mode
-        of the mixed-precision refined solver; "f64" is exact.
+        One fused dispatch (upward + downward + leaf): no host transfers and
+        a single device-queue entry — intended for the solver hot loop where
+        weights, values and residuals all live in HBM. ``precision="f32"``
+        runs the M2L/P2P/M2P contractions in float32 (~1e-6 relative), the
+        inner mode of the mixed-precision refined solver; "f64" is exact.
         """
         binned = self._target_cache[reuse_key]
-        self._multipole, self._weights_sorted = _upward(self._dev, weights_dev)
-        self._local = _downward(
-            self._dev, self._multipole, self._weights_sorted,
-            kparams=self.kernel_params, prec=precision,
+        vals, mult, local, wsorted = _matvec_fused(
+            self._dev,
+            weights_dev,
+            binned["targets_pad"],
+            binned["tgt_idx"],
+            binned["tgt_mask"],
+            binned["tcells"],
+            binned["p2p_groups"],
+            binned["m2p_groups"],
+            kparams=self.kernel_params,
+            d=self.d,
+            p=self.p,
+            n_pad=binned["n_pad"],
+            p2p_meta=binned["p2p_meta"],
+            m2p_meta=binned["m2p_meta"],
+            prec=precision,
         )
-        vals, _ = self._leaf_pass_device(binned, with_grads=False, prec=precision)
+        self._multipole, self._local, self._weights_sorted = mult, local, wsorted
         return vals[: binned["ntargets"]]
 
     def evaluate(self, weights, target_points, reuse_key=None) -> np.ndarray:
