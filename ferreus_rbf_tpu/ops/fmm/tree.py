@@ -379,6 +379,24 @@ def m2l_vector_id(delta: np.ndarray, d: int) -> np.ndarray:
 
 
 def _build_interaction_lists(tree: Octree) -> None:
+    """Populate u/v/w/x flat pair lists (native C++ when available)."""
+    from ... import native
+
+    res = native.build_interaction_lists(
+        tree.anchors, tree.levels, tree.parent, tree.children,
+        tree.is_leaf, tree.has_points, tree.depth,
+    )
+    if res is not None:
+        v, u, w = res
+        tree.v_pairs = v
+        tree.u_pairs = np.unique(u, axis=0) if u.size else u
+        tree.w_pairs = np.unique(w, axis=0) if w.size else w
+        tree.x_pairs = tree.w_pairs[:, ::-1].copy()
+        return
+    _build_interaction_lists_numpy(tree)
+
+
+def _build_interaction_lists_numpy(tree: Octree) -> None:
     """Populate u/v/w/x flat pair lists.
 
     v: children of parent's colleagues, existing, non-adjacent (same level).
