@@ -104,6 +104,12 @@ class Params:
     # refined solve converges to the same tolerance, measured in f64).
     mixed_precision: bool = True
 
+    # TPU-specific: dtype of the stored Schwarz leaf Cholesky factors.
+    # "f32" (default) halves preconditioner HBM — the million-point fit
+    # needs it on a 16GB chip — and right-preconditioned *flexible* GMRES
+    # tolerates the inexact apply; "f64" for exact-parity studies.
+    precond_factor_dtype: str = "f32"
+
     @classmethod
     def builder(cls, kernel_type: RBFKernelType) -> "ParamsBuilder":
         return ParamsBuilder(kernel_type)
@@ -120,6 +126,7 @@ class Params:
             "naive_solve_threshold": self.naive_solve_threshold,
             "test_unique": self.test_unique,
             "mixed_precision": self.mixed_precision,
+            "precond_factor_dtype": self.precond_factor_dtype,
         }
 
     @classmethod
@@ -131,6 +138,7 @@ class Params:
             naive_solve_threshold=d["naive_solve_threshold"],
             test_unique=d["test_unique"],
             mixed_precision=d.get("mixed_precision", True),
+            precond_factor_dtype=d.get("precond_factor_dtype", "f32"),
         )
 
 

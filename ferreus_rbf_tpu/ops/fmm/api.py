@@ -89,20 +89,31 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     ct = jnp.float32 if prec == "f32" else jnp.float64
     kernel = make_kernel(kparams, dtype=ct)
     mult_c = mult.astype(ct)
-    local = jnp.zeros_like(mult_c)
+    local = jnp.zeros((mult_c.shape[0] + 1,) + mult_c.shape[1:], ct)
     perm_idx = dev["perm_idx"]
     inv_perm = dev["inv_perm"]
-    for u_op, vt_op, tgt, src, perm in dev["m2l_groups"]:
-        x = mult_c[src]  # (m, p^d, r)
-        rows = perm_idx[perm]
-        xp_ = jnp.take_along_axis(x, rows[:, :, None], axis=1)
-        u_c = u_op.astype(ct)
-        if vt_op is None:
-            y = jnp.einsum("pq,mqr->mpr", u_c, xp_)
+    # One batched einsum per level: the reference operators are stacked over
+    # a leading "ref" axis (ranks zero-padded), interactions grouped into a
+    # (nref, m_pad) table with out-of-range pad targets dropped — a single
+    # compiled program per level instead of one per (level, ref).
+    for u_stack, vt_stack, tgt, src, perm in dev["m2l_levels"]:
+        x = mult_c[src]  # (g, m, p^d, r)
+        rows = perm_idx[perm]  # (g, m, p^d)
+        xp_ = jnp.take_along_axis(x, rows[..., None], axis=2)
+        u_c = u_stack.astype(ct)
+        if vt_stack is None:
+            y = jnp.einsum("gpq,gmqr->gmpr", u_c, xp_)
         else:
-            y = jnp.einsum("pk,mkr->mpr", u_c, jnp.einsum("kq,mqr->mkr", vt_op.astype(ct), xp_))
-        y = jnp.take_along_axis(y, inv_perm[perm][:, :, None], axis=1)
-        local = local.at[tgt].add(y)
+            y = jnp.einsum(
+                "gpk,gmkr->gmpr", u_c,
+                jnp.einsum("gkq,gmqr->gmkr", vt_stack.astype(ct), xp_),
+            )
+        y = jnp.take_along_axis(y, inv_perm[perm][..., None], axis=2)
+        local = local.at[tgt.reshape(-1)].add(
+            y.reshape((-1,) + y.shape[2:]), mode="drop"
+        )
+
+    local = local[:-1]  # drop the pad-target sentinel row
 
     p2l = dev["p2l"]
     if p2l is not None:
@@ -374,23 +385,48 @@ class FmmTree:
             if cells.size:
                 self.l2l_groups.append(octant_groups(cells))
 
-        # --- M2L groups: per level, per reference operator ----------------
+        # --- M2L: one stacked group per level -----------------------------
+        # refs with zero-padded ranks stacked over a leading axis; the
+        # interaction table is (nref, m_pad) with pad targets = ncells
+        # (dropped at scatter). One compiled einsum chain per level.
         pt = self.perm_tables
         vp = t.v_pairs
         if vp.shape[0]:
             vp = vp[t.has_points[vp[:, 1]]]
         lv = t.levels[vp[:, 0]] if vp.shape[0] else np.zeros(0, np.int64)
-        self.m2l_groups = []  # (level, ref, tgt, src, perm_row)
+        self.m2l_levels = []  # (level, U_stack, Vt_stack|None, tgt, src, perm)
         for level in range(2, t.depth + 1):
             sel = vp[lv == level] if vp.shape[0] else vp
             if sel.shape[0] == 0:
                 continue
             refs = pt.ref_lookup[sel[:, 2]]
             perms = pt.perm_lookup[sel[:, 2]]
-            for r in range(pt.num_reference):
+            present = [r for r in range(pt.num_reference) if np.any(refs == r)]
+            m_pad = _next_pow2(max(int(np.sum(refs == r)) for r in present))
+            g = len(present)
+            tgt = np.full((g, m_pad), t.num_cells, np.int64)
+            srcg = np.zeros((g, m_pad), np.int64)
+            permg = np.zeros((g, m_pad), np.int64)
+            ops = [self.level_ops[level][r] for r in present]
+            ranks = [u.shape[1] if vt is not None else u.shape[1] for u, vt in ops]
+            rmax = max(ranks)
+            nnodes = self.nnodes
+            dense = ops[0][1] is None
+            u_stack = np.zeros((g, nnodes, rmax if not dense else nnodes))
+            vt_stack = None if dense else np.zeros((g, rmax, nnodes))
+            for gi, r in enumerate(present):
                 m = refs == r
-                if np.any(m):
-                    self.m2l_groups.append((level, r, sel[m, 0], sel[m, 1], perms[m]))
+                cnt = int(np.sum(m))
+                tgt[gi, :cnt] = sel[m, 0]
+                srcg[gi, :cnt] = sel[m, 1]
+                permg[gi, :cnt] = perms[m]
+                u, vt = ops[gi]
+                if dense:
+                    u_stack[gi] = u
+                else:
+                    u_stack[gi, :, : u.shape[1]] = u
+                    vt_stack[gi, : vt.shape[0]] = vt
+            self.m2l_levels.append((level, u_stack, vt_stack, tgt, srcg, permg))
 
         # --- P2L groups (x list) ------------------------------------------
         xp = t.x_pairs
@@ -456,17 +492,15 @@ class FmmTree:
             ],
             "perm_idx": jnp.asarray(self.perm_tables.perm_indices),
             "inv_perm": jnp.asarray(self.perm_tables.inverse_perm),
-            "m2l_groups": [
+            "m2l_levels": [
                 (
-                    jnp.asarray(self.level_ops[level][r][0]),
-                    None
-                    if self.level_ops[level][r][1] is None
-                    else jnp.asarray(self.level_ops[level][r][1]),
+                    jnp.asarray(u_stack),
+                    None if vt_stack is None else jnp.asarray(vt_stack),
                     jnp.asarray(tgt),
                     jnp.asarray(src),
                     jnp.asarray(perm),
                 )
-                for (level, r, tgt, src, perm) in self.m2l_groups
+                for (_level, u_stack, vt_stack, tgt, src, perm) in self.m2l_levels
             ],
             "p2l": p2l,
             "nodes_nd": jnp.asarray(self.nodes_nd),

@@ -68,7 +68,15 @@ class DeviceSystem:
             self.monomial_dev = jnp.asarray(self.monomial_matrix)
             self.ortho_poly, _ = np.linalg.qr(self.monomial_matrix)
 
-        self.ddm_tree = DDMTree(points, settings, params.ddm_params, rbfi.global_trend)
+        import jax.numpy as _jnp
+
+        factor_dtype = (
+            _jnp.float32 if params.precond_factor_dtype == "f32" else _jnp.float64
+        )
+        self.ddm_tree = DDMTree(
+            points, settings, params.ddm_params, rbfi.global_trend,
+            factor_dtype=factor_dtype,
+        )
 
         # per-level target binnings + device index arrays for the restricted
         # matvecs the Schwarz sweep issues
