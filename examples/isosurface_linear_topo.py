@@ -40,7 +40,7 @@ def main():
 
     # keep facets whose centroid is below the topo surface
     centroids = mesh.vertices[mesh.facets].mean(axis=1)
-    topo_at = topo.evaluate(centroids[:, :2])[:, 0]
+    topo_at = topo.evaluate(centroids[:, :2])
     keep = centroids[:, 2] <= topo_at
     clipped = frt.Mesh(mesh.vertices, mesh.facets[keep])
     print(f"clipped below topography: {clipped.num_facets} facets")

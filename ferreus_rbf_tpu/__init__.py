@@ -26,6 +26,10 @@ import os as _os
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# True-f32 matmuls: the TPU MXU lowers f32 dots to bf16 passes by default
+# (~1e-3 relative error), which would defeat the mixed-precision solver's
+# f32 inner iterations. "highest" forces full f32 accumulation.
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: XLA compiles of the f64 FMM programs are
 # expensive on TPU backends; caching them on disk makes every process after

@@ -124,6 +124,14 @@ def remove_duplicates(points: np.ndarray, interpolant_settings: InterpolantSetti
     return np.asarray(unique, np.int64)
 
 
+def _scalar_or_matrix(values: np.ndarray) -> np.ndarray:
+    """Single-column value blocks come back 1-D, like the reference's
+    ``mat_to_numpy_scalar_or_matrix`` (``python_bindings.rs:81-99``); true
+    multi-RHS results stay 2-D. Gradients are always 2-D."""
+    v = np.asarray(values)
+    return v[:, 0] if v.ndim == 2 and v.shape[1] == 1 else v
+
+
 class _DenseEvaluator:
     """Direct chunked device matvec evaluator (small problems / oracle)."""
 
@@ -365,7 +373,7 @@ class RBFInterpolator:
                     self.scale_factor,
                 )
 
-        return values, gradients
+        return _scalar_or_matrix(values), gradients
 
     def evaluate(self, target_points) -> np.ndarray:
         """One-shot evaluation over the union of source/target extents."""

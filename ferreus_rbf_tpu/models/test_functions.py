@@ -11,7 +11,9 @@ import numpy as np
 
 
 def _col(values: np.ndarray) -> np.ndarray:
-    return np.asarray(values, np.float64).reshape(-1, 1)
+    # the reference's test functions return 1-D arrays for scalar fields
+    # (``python_bindings.rs:1255-1260`` via mat_to_numpy_scalar_or_matrix)
+    return np.asarray(values, np.float64).reshape(-1)
 
 
 class RBFTestFunctions:

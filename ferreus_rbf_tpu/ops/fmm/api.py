@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ...config import FmmCompressionType, FmmParams
 from ..kernels import Kernel, KernelParams, make_kernel
-from . import cheb, m2l, tree as tree_mod
+from . import cheb, m2l, p2p_pallas, tree as tree_mod
 from .tree import Octree, PointOutsideTreeError, calculate_tree_center_and_radius
 
 __all__ = ["FmmTree", "PointOutsideTreeError", "KernelDoesNotSupportGradientsError"]
@@ -53,6 +53,24 @@ def _next_pow2(n) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _pallas_default() -> bool:
+    """Use the fused Pallas near-field kernel on TPU backends.
+
+    Env override ``FERREUS_RBF_TPU_PALLAS=0/1``. Only the f32 no-gradient
+    inner-matvec path is affected; f64 and gradient paths always use the
+    XLA scan.
+    """
+    import os
+
+    env = os.environ.get("FERREUS_RBF_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 # --------------------------------------------------------------------- jitted
 # Module-level pass functions: all tree-specific data arrives in the `dev`
 # pytree argument; only the kernel closures / dimensionality arrive statically.
@@ -61,21 +79,29 @@ def _next_pow2(n) -> int:
 from functools import partial as _partial
 
 
-@jax.jit
-def _upward(dev, weights):
-    """weights (N, nrhs), original point order -> (multipole, w_sorted)."""
+@_partial(jax.jit, static_argnames=("prec",))
+def _upward(dev, weights, *, prec="f64"):
+    """weights (N, nrhs), original point order -> (multipole, w_sorted).
+
+    ``prec="f32"`` runs P2M/M2M in float32 (mixed-precision inner matvec);
+    the multipole expansion is upcast on return so downstream code always
+    sees f64.
+    """
+    ct = jnp.float32 if prec == "f32" else jnp.float64
     w_sorted = weights[dev["point_order"]]
     ncells = dev["cell_centers"].shape[0]
     nnodes = dev["w_src"].shape[2]
-    mult = jnp.zeros((ncells, nnodes, weights.shape[1]), jnp.float64)
+    mult = jnp.zeros((ncells, nnodes, weights.shape[1]), ct)
     nsl = dev["w_src"].shape[0]
-    wb = w_sorted[dev["src_bucket_idx"][:nsl]]
-    wb = jnp.where(dev["src_bucket_mask"][:nsl, :, None], wb, 0.0)
-    mult = mult.at[dev["src_leaf_cells"]].add(jnp.einsum("lsp,lsr->lpr", dev["w_src"], wb))
+    wb = w_sorted[dev["src_bucket_idx"][:nsl]].astype(ct)
+    wb = jnp.where(dev["src_bucket_mask"][:nsl, :, None], wb, ct(0.0))
+    w_src = dev["w_src"].astype(ct)
+    mult = mult.at[dev["src_leaf_cells"]].add(jnp.einsum("lsp,lsr->lpr", w_src, wb))
+    m2m_c = dev["m2m_ops"].astype(ct)
     for per_octant in dev["m2m_groups"]:
         for o, (ch, pa) in enumerate(per_octant):
-            mult = mult.at[pa].add(jnp.einsum("pq,cqr->cpr", dev["m2m_ops"][o], mult[ch]))
-    return mult, w_sorted
+            mult = mult.at[pa].add(jnp.einsum("pq,cqr->cpr", m2m_c[o], mult[ch]))
+    return mult.astype(jnp.float64), w_sorted
 
 
 @_partial(jax.jit, static_argnames=("kparams", "prec"))
@@ -90,25 +116,19 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     kernel = make_kernel(kparams, dtype=ct)
     mult_c = mult.astype(ct)
     local = jnp.zeros((mult_c.shape[0] + 1,) + mult_c.shape[1:], ct)
-    perm_idx = dev["perm_idx"]
-    inv_perm = dev["inv_perm"]
-    # One batched einsum per level: the reference operators are stacked over
-    # a leading "ref" axis (ranks zero-padded), interactions grouped into a
-    # (nref, m_pad) table with out-of-range pad targets dropped — a single
-    # compiled program per level instead of one per (level, ref).
-    for u_stack, vt_stack, tgt, src, perm in dev["m2l_levels"]:
+    # One batched einsum chain per level. Groups are per m2l *vector id*
+    # with the symmetry permutation pre-folded into (U, Vt) at plan time
+    # (see _build_plan) — no runtime permutation gathers.
+    for u_stack, vt_stack, tgt, src in dev["m2l_levels"]:
         x = mult_c[src]  # (g, m, p^d, r)
-        rows = perm_idx[perm]  # (g, m, p^d)
-        xp_ = jnp.take_along_axis(x, rows[..., None], axis=2)
         u_c = u_stack.astype(ct)
         if vt_stack is None:
-            y = jnp.einsum("gpq,gmqr->gmpr", u_c, xp_)
+            y = jnp.einsum("gpq,gmqr->gmpr", u_c, x)
         else:
             y = jnp.einsum(
                 "gpk,gmkr->gmpr", u_c,
-                jnp.einsum("gkq,gmqr->gmkr", vt_stack.astype(ct), xp_),
+                jnp.einsum("gkq,gmqr->gmkr", vt_stack.astype(ct), x),
             )
-        y = jnp.take_along_axis(y, inv_perm[perm][..., None], axis=2)
         local = local.at[tgt.reshape(-1)].add(
             y.reshape((-1,) + y.shape[2:]), mode="drop"
         )
@@ -133,24 +153,25 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     return local.astype(jnp.float64)
 
 
-def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads):
-    nodes_t = dev["nodes_t"]
+def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads, prec="f64"):
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    nodes_t = dev["nodes_t"].astype(ct)
     tpts = targets[tgt_idx]
-    centers = dev["cell_centers"][tcells]
-    lengths = dev["cell_lengths"][tcells]
-    loc = local[tcells]
+    centers = dev["cell_centers"][tcells].astype(ct)
+    lengths = dev["cell_lengths"][tcells].astype(ct)
+    loc = local[tcells].astype(ct)
     w_t, dw_t = cheb.anterpolation_weights(
-        tpts, centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
+        tpts.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
     )
-    vals_b = jnp.einsum("ltp,lpr->ltr", w_t, loc)
+    vals_b = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
     if with_grads:
-        grads_b = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc)
+        grads_b = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
     else:
         grads_b = jnp.zeros(vals_b.shape + (d,), jnp.float64)
     return tpts, vals_b, grads_b
 
 
-_l2p = _partial(jax.jit, static_argnames=("d", "p", "with_grads"))(_l2p_impl)
+_l2p = _partial(jax.jit, static_argnames=("d", "p", "with_grads", "prec"))(_l2p_impl)
 
 
 def _row_chunk_scan(kernel, with_grads, tpts_rows, tmask_rows, src_pts, src_mask, src_w, chunk):
@@ -182,11 +203,11 @@ def _row_chunk_scan(kernel, with_grads, tpts_rows, tmask_rows, src_pts, src_mask
     return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
 
 
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
     p2p_groups, m2p_groups, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, with_grads,
-    prec="f64",
+    prec="f64", use_pallas=False,
 ):
     """The whole leaf pass as ONE compiled program.
 
@@ -198,17 +219,28 @@ def _leaf_all(
     """
     ct = jnp.float32 if prec == "f32" else jnp.float64
     kernel = make_kernel(kparams, dtype=ct)
+    # The fused Pallas near-field kernel covers the f32 no-gradient path
+    # (the solver's inner matvec); everything else stays on the XLA scan.
+    pallas_nf = use_pallas and prec == "f32" and not with_grads
     tpts, vals_b, grads_b = _l2p_impl(
-        dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p, with_grads=with_grads
+        dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p,
+        with_grads=with_grads, prec=prec
     )
 
     # P2P over concatenated neighbour-source tables
     for (rows, sidx_tab, smask_tab), (_s_class, chunk) in zip(p2p_groups, p2p_meta):
         sp = dev["pts_sorted"][sidx_tab].astype(ct)
         wv = jnp.where(smask_tab[..., None], w_sorted[sidx_tab].astype(ct), ct(0.0))
-        vals, grads = _row_chunk_scan(
-            kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, smask_tab, wv, chunk
-        )
+        if pallas_nf:
+            vals = p2p_pallas.p2p_rows(
+                tpts[rows].astype(ct), sp.transpose(0, 2, 1), wv.transpose(0, 2, 1),
+                kparams=kparams,
+            )
+            grads = None
+        else:
+            vals, grads = _row_chunk_scan(
+                kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, smask_tab, wv, chunk
+            )
         vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:
             grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
@@ -218,9 +250,16 @@ def _leaf_all(
     for (rows, nidx_tab, nmask_tab), (_w_class, chunk) in zip(m2p_groups, m2p_meta):
         sp = dev["cell_nodes_flat"][nidx_tab].astype(ct)
         wv = jnp.where(nmask_tab[..., None], mult_flat[nidx_tab], ct(0.0))
-        vals, grads = _row_chunk_scan(
-            kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, nmask_tab, wv, chunk
-        )
+        if pallas_nf:
+            vals = p2p_pallas.p2p_rows(
+                tpts[rows].astype(ct), sp.transpose(0, 2, 1), wv.transpose(0, 2, 1),
+                kparams=kparams,
+            )
+            grads = None
+        else:
+            vals, grads = _row_chunk_scan(
+                kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, nmask_tab, wv, chunk
+            )
         vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:
             grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
@@ -231,19 +270,20 @@ def _leaf_all(
 
 
 
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec", "use_pallas"))
 def _matvec_fused(
     dev, weights, targets, tgt_idx, tgt_mask, tcells, p2p_groups, m2p_groups,
-    *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec
+    *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec, use_pallas=False
 ):
     """Upward + downward + leaf pass as ONE program (one queue entry over
     the host->device link per solver matvec)."""
-    mult, w_sorted = _upward(dev, weights)
+    mult, w_sorted = _upward(dev, weights, prec=prec)
     local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
     vals, _ = _leaf_all(
         dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
         p2p_groups, m2p_groups, kparams=kparams, d=d, p=p, n_pad=n_pad,
         p2p_meta=p2p_meta, m2p_meta=m2p_meta, with_grads=False, prec=prec,
+        use_pallas=use_pallas,
     )
     return vals, mult, local, w_sorted
 
@@ -317,6 +357,7 @@ class FmmTree:
         self._hwm = {}
         # fixed target-bucket width (leaves with more targets span rows)
         self._tmax = min(64, _next_pow2(max(self.smax, 8)))
+        self._use_pallas = _pallas_default()
 
     # ------------------------------------------------------------ operators
     def _build_operators(self):
@@ -385,48 +426,66 @@ class FmmTree:
             if cells.size:
                 self.l2l_groups.append(octant_groups(cells))
 
-        # --- M2L: one stacked group per level -----------------------------
-        # refs with zero-padded ranks stacked over a leading axis; the
-        # interaction table is (nref, m_pad) with pad targets = ncells
-        # (dropped at scatter). One compiled einsum chain per level.
+        # --- M2L: stacked groups per (level, m2l vector id) ----------------
+        # TPU redesign note: an earlier variant grouped by *reference* class
+        # and applied the Messner symmetry permutations at runtime with
+        # take_along_axis — measured at ~285 ms per permutation gather at
+        # 100k points (10x the matmuls). Instead the permutations are folded
+        # into the operators ON THE HOST: each distinct m2l vector id gets
+        # its own (U_v, Vt_v) obtained by permuting the reference
+        # compression's rows/columns once at setup, so the downward pass is
+        # pure batched matmul + gather/scatter with no runtime permutation.
+        # Symmetry still saves setup work (16 ACA compressions instead of
+        # 316 in 3D), exactly like the reference's scheme — only the
+        # application site moves from run time to plan time.
         pt = self.perm_tables
         vp = t.v_pairs
         if vp.shape[0]:
             vp = vp[t.has_points[vp[:, 1]]]
         lv = t.levels[vp[:, 0]] if vp.shape[0] else np.zeros(0, np.int64)
-        self.m2l_levels = []  # (level, U_stack, Vt_stack|None, tgt, src, perm)
+        self.m2l_levels = []  # (level, U_stack, Vt_stack|None, tgt, src)
+        nnodes = self.nnodes
         for level in range(2, t.depth + 1):
             sel = vp[lv == level] if vp.shape[0] else vp
             if sel.shape[0] == 0:
                 continue
-            refs = pt.ref_lookup[sel[:, 2]]
-            perms = pt.perm_lookup[sel[:, 2]]
-            present = [r for r in range(pt.num_reference) if np.any(refs == r)]
-            m_pad = _next_pow2(max(int(np.sum(refs == r)) for r in present))
+            vids = sel[:, 2]
+            present = np.unique(vids)
+            counts = np.array([int(np.sum(vids == v)) for v in present])
+            m_pad = _next_pow2(int(counts.max()))
             g = len(present)
             tgt = np.full((g, m_pad), t.num_cells, np.int64)
             srcg = np.zeros((g, m_pad), np.int64)
-            permg = np.zeros((g, m_pad), np.int64)
-            ops = [self.level_ops[level][r] for r in present]
-            ranks = [u.shape[1] if vt is not None else u.shape[1] for u, vt in ops]
-            rmax = max(ranks)
-            nnodes = self.nnodes
-            dense = ops[0][1] is None
-            u_stack = np.zeros((g, nnodes, rmax if not dense else nnodes))
+            dense = self.level_ops[level][0][1] is None
+            rmax = (
+                nnodes
+                if dense
+                else max(self.level_ops[level][r][0].shape[1] for r in range(pt.num_reference))
+            )
+            u_stack = np.zeros((g, nnodes, rmax))
             vt_stack = None if dense else np.zeros((g, rmax, nnodes))
-            for gi, r in enumerate(present):
-                m = refs == r
+            for gi, v in enumerate(present):
+                m = vids == v
                 cnt = int(np.sum(m))
                 tgt[gi, :cnt] = sel[m, 0]
                 srcg[gi, :cnt] = sel[m, 1]
-                permg[gi, :cnt] = perms[m]
-                u, vt = ops[gi]
+                u, vt = self.level_ops[level][pt.ref_lookup[v]]
+                pid = pt.perm_lookup[v]
+                rows = pt.perm_indices[pid]
+                inv = pt.inverse_perm[pid]
                 if dense:
-                    u_stack[gi] = u
+                    # runtime was y = (K @ x[rows])[inv]; fold both gathers
+                    k2 = np.zeros_like(u)
+                    k2[:, rows] = u
+                    u_stack[gi] = k2[inv]
                 else:
-                    u_stack[gi, :, : u.shape[1]] = u
-                    vt_stack[gi, : vt.shape[0]] = vt
-            self.m2l_levels.append((level, u_stack, vt_stack, tgt, srcg, permg))
+                    # y = (U @ (Vt @ x[rows]))[inv]  ->  U_v = U[inv],
+                    # Vt_v[:, rows] = Vt
+                    u_stack[gi, :, : u.shape[1]] = u[inv]
+                    vt2 = np.zeros((vt.shape[0], nnodes))
+                    vt2[:, rows] = vt
+                    vt_stack[gi, : vt.shape[0]] = vt2
+            self.m2l_levels.append((level, u_stack, vt_stack, tgt, srcg))
 
         # --- P2L groups (x list) ------------------------------------------
         xp = t.x_pairs
@@ -490,17 +549,14 @@ class FmmTree:
                 [(jnp.asarray(ch), jnp.asarray(pa)) for ch, pa in grp]
                 for grp in self.l2l_groups
             ],
-            "perm_idx": jnp.asarray(self.perm_tables.perm_indices),
-            "inv_perm": jnp.asarray(self.perm_tables.inverse_perm),
             "m2l_levels": [
                 (
                     jnp.asarray(u_stack),
                     None if vt_stack is None else jnp.asarray(vt_stack),
                     jnp.asarray(tgt),
                     jnp.asarray(src),
-                    jnp.asarray(perm),
                 )
-                for (_level, u_stack, vt_stack, tgt, src, perm) in self.m2l_levels
+                for (_level, u_stack, vt_stack, tgt, src) in self.m2l_levels
             ],
             "p2l": p2l,
             "nodes_nd": jnp.asarray(self.nodes_nd),
@@ -708,6 +764,7 @@ class FmmTree:
             m2p_meta=binned["m2p_meta"],
             with_grads=with_grads,
             prec=prec,
+            use_pallas=self._use_pallas,
         )
 
     def evaluate_device(self, weights_dev, reuse_key, precision: str = "f64"):
@@ -736,6 +793,7 @@ class FmmTree:
             p2p_meta=binned["p2p_meta"],
             m2p_meta=binned["m2p_meta"],
             prec=precision,
+            use_pallas=self._use_pallas,
         )
         self._multipole, self._local, self._weights_sorted = mult, local, wsorted
         return vals[: binned["ntargets"]]

@@ -1,0 +1,96 @@
+"""Pallas TPU kernel for the FMM near-field (P2P / M2P) row pass.
+
+The XLA path (``api._row_chunk_scan``) materialises the (rows, T, S) kernel
+matrix in HBM between the elementwise distance/phi computation and the
+(T, S) @ (S, nrhs) contraction, and serialises row chunks through
+``lax.scan``. This kernel fuses distance -> phi(r^2) -> MXU contraction in
+VMEM with one grid program per target-bucket row, so the kernel matrix never
+leaves the chip and rows pipeline through the scalar core's DMA prefetcher.
+
+Replaces the hot inner loop of the reference's rayon-parallel direct pass
+(``ferreus_bbfmm/src/fmm_evaluator.rs`` near-field) with an on-chip fused
+tile — the TPU analogue of its cache-blocked SIMD loop.
+
+Layout choices (TPU tiling is (sublane, lane) = (8, 128) for f32):
+- targets stay (R, T, d): T = 64 rows of d lanes — small block either way.
+- sources arrive TRANSPOSED as (R, d, S): d sublanes x S lanes, so a
+  4096-wide source table costs 8 x S lanes of VMEM instead of S x 128.
+- weights arrive TRANSPOSED as (R, nrhs, S) for the same reason; the
+  contraction runs as dot_general((T, S), (nrhs, S), contract on S).
+
+Padded sources must carry zero weights (the caller already zeroes them);
+phi(r^2) is finite at the pad coordinates for every registry kernel, so the
+zero weight kills the contribution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled jaxlibs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+
+def _row_kernel(t_ref, s_ref, w_ref, o_ref, *, phi_r2, d):
+    # t_ref (1, T, d); s_ref (1, d, S); w_ref (1, nrhs, S); o_ref (1, T, nrhs)
+    tcol = t_ref[0, :, 0:1]
+    srow = s_ref[0, 0:1, :]
+    dd = tcol - srow
+    r2 = dd * dd
+    for i in range(1, d):
+        dd = t_ref[0, :, i : i + 1] - s_ref[0, i : i + 1, :]
+        r2 = r2 + dd * dd
+    k = phi_r2(r2)  # (T, S)
+    o_ref[0] = jax.lax.dot_general(
+        k,
+        w_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "interpret"))
+def p2p_rows(tpts_rows, src_pts_t, src_w_t, *, kparams, interpret=False):
+    """Fused near-field row pass.
+
+    tpts_rows (R, T, d) f32; src_pts_t (R, d, S) f32; src_w_t (R, nrhs, S)
+    f32 with padded sources zero-weighted. Returns (R, T, nrhs) f32 values
+    ``out[r, t] = sum_s phi(|tpts[r, t] - src[r, s]|) * w[r, s]``.
+    """
+    from .. import kernels as _k
+
+    r, t, d = tpts_rows.shape
+    s = src_pts_t.shape[2]
+    nrhs = src_w_t.shape[1]
+    phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
+    body = functools.partial(_row_kernel, phi_r2=phi, d=d)
+    # Index-map constants must be i32: under jax_enable_x64 a literal 0
+    # becomes i64 while program_id stays i32, and Mosaic fails to legalize
+    # the mixed (i32, i64, i64) index-map return.
+    imap = lambda i: (i, i * 0, i * 0)
+    return pl.pallas_call(
+        body,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), imap, memory_space=_VMEM),
+            pl.BlockSpec((1, d, s), imap, memory_space=_VMEM),
+            pl.BlockSpec((1, nrhs, s), imap, memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, nrhs), imap, memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+        interpret=interpret,
+    )(
+        tpts_rows.astype(jnp.float32),
+        src_pts_t.astype(jnp.float32),
+        src_w_t.astype(jnp.float32),
+    )

@@ -17,17 +17,31 @@ import numpy as np
 DEFAULT_INTERSECTION_TOLERANCE = 1e-8
 
 
+def _cross3(u, v):
+    """Cross product over a trailing axis of 3 — avoids ``np.cross``'s
+    per-call moveaxis overhead, which dominates scalar-loop profiles."""
+    return np.stack(
+        (
+            u[..., 1] * v[..., 2] - u[..., 2] * v[..., 1],
+            u[..., 2] * v[..., 0] - u[..., 0] * v[..., 2],
+            u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0],
+        ),
+        axis=-1,
+    )
+
+
 def _unit(v):
-    n = np.linalg.norm(v)
+    n = float(v @ v) ** 0.5
     return None if n <= 0.0 else v / n
 
 
 def _tri_normal(tri):
-    return np.cross(tri[1] - tri[0], tri[2] - tri[0])
+    return _cross3(tri[1] - tri[0], tri[2] - tri[0])
 
 
 def _is_degenerate(tri, tol):
-    return np.linalg.norm(_tri_normal(tri)) <= tol * tol
+    n = _tri_normal(tri)
+    return float(n @ n) ** 0.5 <= tol * tol
 
 
 def _plane_distances(tri, pts):
@@ -43,9 +57,9 @@ def _point_in_interior(tri, point, tol):
         return False
     if abs((point - tri[0]) @ n_hat) > tol:
         return False
-    c0 = np.cross(tri[1] - tri[0], point - tri[0]) @ n_hat
-    c1 = np.cross(tri[2] - tri[1], point - tri[1]) @ n_hat
-    c2 = np.cross(tri[0] - tri[2], point - tri[2]) @ n_hat
+    c0 = _cross3(tri[1] - tri[0], point - tri[0]) @ n_hat
+    c1 = _cross3(tri[2] - tri[1], point - tri[1]) @ n_hat
+    c2 = _cross3(tri[0] - tri[2], point - tri[2]) @ n_hat
     at = tol * tol
     return (c0 > at and c1 > at and c2 > at) or (c0 < -at and c1 < -at and c2 < -at)
 
@@ -81,8 +95,8 @@ def tri_tri_intersect(t1, t2) -> bool:
     if np.all(dv1 > 0) or np.all(dv1 < 0):
         return False
 
-    direction = np.cross(n1, n2)
-    if np.linalg.norm(direction) < eps:
+    direction = _cross3(n1, n2)
+    if float(direction @ direction) ** 0.5 < eps:
         # coplanar: project onto the dominant axis plane and run 2D tests
         return _coplanar_tri_tri(t1, t2, n1)
 
@@ -170,7 +184,8 @@ def _coplanar_tri_tri(t1, t2, n):
 def _shared_vertex_extra_crossing(ta, tb, tol):
     for i in range(3):
         for j in range(3):
-            if np.linalg.norm(ta[i] - tb[j]) <= tol:
+            dv = ta[i] - tb[j]
+            if float(dv @ dv) ** 0.5 <= tol:
                 a0, a1 = ta[(i + 1) % 3], ta[(i + 2) % 3]
                 b0, b1 = tb[(j + 1) % 3], tb[(j + 2) % 3]
                 return _segment_pierces_interior(tb, a0, a1, tol) or _segment_pierces_interior(
@@ -197,9 +212,8 @@ def _is_true_self_intersection(a_ids, b_ids, ta, tb, tol):
         return False
     if shared == 1:
         return _shared_vertex_extra_crossing(ta, tb, tol)
-    geo_shared = sum(
-        1 for i in range(3) if any(np.linalg.norm(ta[i] - tb[j]) <= tol for j in range(3))
-    )
+    dmat = ta[:, None, :] - tb[None, :, :]
+    geo_shared = int((np.einsum("ijk,ijk->ij", dmat, dmat) <= tol * tol).any(axis=1).sum())
     if geo_shared >= 2:
         return False
     if geo_shared == 1:
@@ -228,13 +242,87 @@ def get_intersecting_triangles(vertices, facets) -> np.ndarray:
     tree = scipy.spatial.cKDTree(centres)
     pairs = tree.query_pairs(2.0 * rmax + 1e-12, output_type="ndarray")
 
-    out = set()
     tol = DEFAULT_INTERSECTION_TOLERANCE
-    for a, b in pairs:
-        # exact AABB overlap check
-        if np.any(lo[a] > hi[b]) or np.any(lo[b] > hi[a]):
-            continue
+    out = set()
+    if pairs.shape[0] == 0:
+        return np.zeros(0, np.int64)
+
+    # Vectorised reject pass over all candidate pairs — the same conjunctive
+    # rejections as the scalar narrow phase, batched. AABB overlap,
+    # non-degeneracy and the shared-vertex-id count first:
+    a_i, b_i = pairs[:, 0], pairs[:, 1]
+    keep = ~(np.any(lo[a_i] > hi[b_i], axis=1) | np.any(lo[b_i] > hi[a_i], axis=1))
+    a_i, b_i = a_i[keep], b_i[keep]
+    pa, pb = pts[a_i], pts[b_i]
+    n_a = _cross3(pa[:, 1] - pa[:, 0], pa[:, 2] - pa[:, 0])
+    n_b = _cross3(pb[:, 1] - pb[:, 0], pb[:, 2] - pb[:, 0])
+    t2 = tol * tol
+    nondegen = (np.einsum("ij,ij->i", n_a, n_a) > t2 * t2) & (
+        np.einsum("ij,ij->i", n_b, n_b) > t2 * t2
+    )
+    id_match = tris[a_i][:, :, None] == tris[b_i][:, None, :]  # (m, 3, 3)
+    shared = id_match.any(axis=2).sum(axis=1)
+
+    # Pairs sharing exactly one vertex dominate in a manifold mesh (the
+    # vertex star). Their verdict is tri_tri && extra_crossing, and
+    # extra_crossing is almost always false — so evaluate it batched first
+    # and run the scalar Moller test only on its rare survivors.
+    sel1 = nondegen & (shared == 1)
+    if np.any(sel1):
+        ia, jb = _first_coincident(pa[sel1], pb[sel1], tol, id_match[sel1])
+        m = int(ia.size)
+        rows = np.arange(m)
+        pa1, pb1 = pa[sel1], pb[sel1]
+        a0 = pa1[rows, (ia + 1) % 3]
+        a1 = pa1[rows, (ia + 2) % 3]
+        b0 = pb1[rows, (jb + 1) % 3]
+        b1 = pb1[rows, (jb + 2) % 3]
+        extra = _batch_segment_pierces(pb1, a0, a1, tol) | _batch_segment_pierces(
+            pa1, b0, b1, tol
+        )
+        for a, b in zip(a_i[sel1][extra], b_i[sel1][extra]):
+            if tri_tri_intersect(pts[a], pts[b]):
+                out.add(int(a))
+                out.add(int(b))
+
+    # Everything else (no shared ids) goes through the scalar narrow phase —
+    # a handful of pairs in practice.
+    sel0 = nondegen & (shared == 0)
+    for a, b in zip(a_i[sel0], b_i[sel0]):
         if _is_true_self_intersection(tris[a], tris[b], pts[a], pts[b], tol):
             out.add(int(a))
             out.add(int(b))
     return np.asarray(sorted(out), np.int64)
+
+
+def _first_coincident(pa, pb, tol, id_match):
+    """Per pair, the first (i, j) in row-major scan order with coincident
+    vertices — geometric coincidence like the scalar loop, falling back to
+    the shared-id position (always present for shared == 1 pairs)."""
+    d = pa[:, :, None, :] - pb[:, None, :, :]
+    geo = (np.einsum("mijk,mijk->mij", d, d) <= tol * tol) | id_match
+    flat = geo.reshape(geo.shape[0], 9)
+    idx = np.argmax(flat, axis=1)
+    return idx // 3, idx % 3
+
+
+def _batch_segment_pierces(tri, p0, p1, tol):
+    """Vectorised ``_segment_pierces_interior`` over (m, 3, 3) triangles."""
+    n = _cross3(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    nn = np.sqrt(np.einsum("ij,ij->i", n, n))
+    ok = nn > 0.0
+    n_hat = n / np.where(nn == 0.0, 1.0, nn)[:, None]
+    d0 = np.einsum("ij,ij->i", p0 - tri[:, 0], n_hat)
+    d1 = np.einsum("ij,ij->i", p1 - tri[:, 0], n_hat)
+    ok &= (np.abs(d0) > tol) & (np.abs(d1) > tol) & (d0 * d1 < 0.0)
+    denom = np.where(d0 == d1, 1.0, d0 - d1)
+    t = d0 / denom
+    ok &= (t > tol) & (t < 1.0 - tol)
+    pt = p0 + t[:, None] * (p1 - p0)
+    ok &= np.abs(np.einsum("ij,ij->i", pt - tri[:, 0], n_hat)) <= tol
+    at = tol * tol
+    c0 = np.einsum("ij,ij->i", _cross3(tri[:, 1] - tri[:, 0], pt - tri[:, 0]), n_hat)
+    c1 = np.einsum("ij,ij->i", _cross3(tri[:, 2] - tri[:, 1], pt - tri[:, 1]), n_hat)
+    c2 = np.einsum("ij,ij->i", _cross3(tri[:, 0] - tri[:, 2], pt - tri[:, 2]), n_hat)
+    inside = ((c0 > at) & (c1 > at) & (c2 > at)) | ((c0 < -at) & (c1 < -at) & (c2 < -at))
+    return ok & inside

@@ -71,3 +71,28 @@ def test_model_roundtrip_with_trend(tmp_path):
     v1, g1 = rbfi.evaluate_with_gradients(targets)
     v2, g2 = loaded.evaluate_with_gradients(targets)
     np.testing.assert_allclose(g1, g2, rtol=1e-10)
+
+
+def test_single_column_values_return_1d():
+    """Single-RHS evaluate-family results are 1-D, like the reference's
+    mat_to_numpy_scalar_or_matrix (python_bindings.rs:81-99); gradients
+    stay 2-D; multi-RHS values stay 2-D."""
+    import numpy as np
+
+    import ferreus_rbf_tpu as frt
+
+    pts = frt.generate_random_points(300, 2, seed=3)
+    vals = frt.RBFTestFunctions.franke_2d(pts)
+    assert vals.shape == (300,)
+    settings = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.ThinPlateSpline)
+    rbfi = frt.RBFInterpolator(pts, vals, settings)
+    out = rbfi.evaluate(pts)
+    assert out.shape == (300,)
+    assert float(np.max(np.abs(out - vals))) < 1e-8
+    src = rbfi.evaluate_at_source(add_nugget=True)
+    assert src.shape == (300,)
+    v, g = rbfi.evaluate_with_gradients(pts[:10])
+    assert v.shape == (10,) and g.shape == (10, 2)
+    two = np.stack([vals, 2.0 * vals], axis=1)
+    rbfi2 = frt.RBFInterpolator(pts, two, settings)
+    assert rbfi2.evaluate(pts).shape == (300, 2)

@@ -23,6 +23,7 @@ from ferreus_rbf_tpu.utils.common import get_cheb_cube_scaling_factors
 
 def naive_rbf_solve(points, values, settings):
     """Dense LU of the full saddle-point system [[A, P], [P^T, 0]]."""
+    values = np.asarray(values).reshape(points.shape[0], -1)
     a = np.asarray(get_a_matrix_symmetric_solver(points, settings.kernel_params(), settings.nugget, xp=np))
     if settings.basis_size != 0:
         t, s = get_cheb_cube_scaling_factors(points)
@@ -45,6 +46,7 @@ def naive_rbf_evaluate(points, targets, settings, point_coef, poly_coef):
 
 
 def solve_domain(points, values, settings):
+    values = np.asarray(values).reshape(points.shape[0], -1)
     n = points.shape[0]
     domain = Domain(np.arange(n))
     domain.internal_points_mask = np.ones(n, dtype=bool)
@@ -62,6 +64,7 @@ def _settings(kernel_type):
 
 
 def _check_reproduces_inputs(settings, points, values):
+    values = np.asarray(values).reshape(points.shape[0], -1)
     coef, poly = solve_domain(points, values, settings)
     fitted = naive_rbf_evaluate(points, points, settings, coef, poly)
     err = np.max(np.abs(fitted - values))
@@ -88,7 +91,7 @@ def test_domain_solve_reproduces_inputs(kernel_type):
 def test_domain_solve_non_unisolvent():
     """Coplanar 3D points: rank-deficient monomials (Cherrie's procedure)."""
     pts2 = generate_random_points(100, 2, seed=42)
-    values = RBFTestFunctions.franke_2d(pts2)
+    values = RBFTestFunctions.franke_2d(pts2)[:, None]
     points = np.concatenate([pts2, np.zeros((100, 1))], axis=1)
     settings = InterpolantSettings(kernel_type=RBFKernelType.Linear)
     settings.set_basis_size(3)

@@ -297,3 +297,37 @@ def test_point_outside_tree_error():
     with pytest.raises(PointOutsideTreeError) as exc:
         tree.evaluate(w, np.array([[0.5, 0.5], [10.0, 0.5]]))
     assert exc.value.point_index == 1
+
+
+def test_pallas_near_field_matches_scan():
+    """The fused Pallas P2P/M2P kernel (interpret mode on CPU) must agree
+    with the XLA row-chunk scan through the full fused f32 matvec."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    orig = pp.p2p_rows
+    pp.p2p_rows = functools.partial(
+        jax.jit(orig.__wrapped__, static_argnames=("kparams", "interpret")),
+        interpret=True,
+    )
+    try:
+        rng = np.random.default_rng(7)
+        pts = rng.random((2500, 3))
+        kp = KernelParams(KernelType.Spheroidal5Rbf, base_range=1.0, total_sill=0.7)
+        tree = fmm_api.FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True)
+        tree.prepare_targets(pts, "src")
+        n_pad = tree._target_cache["src"]["n_pad"]
+        w = jnp.asarray(rng.standard_normal((n_pad, 2)))
+        tree._use_pallas = False
+        v_scan = np.asarray(tree.evaluate_device(w, "src", precision="f32"))
+        tree._use_pallas = True
+        v_pal = np.asarray(tree.evaluate_device(w, "src", precision="f32"))
+    finally:
+        pp.p2p_rows = orig
+    err = np.max(np.abs(v_pal - v_scan)) / np.max(np.abs(v_scan))
+    assert err < 1e-5, err

@@ -59,7 +59,8 @@ def test_fit_1d():
     rbfi = RBFInterpolator(points, values, settings)
     mid = np.linspace(0.05, 0.95, 31)[:, None]
     evaluated = rbfi.evaluate(mid)
-    np.testing.assert_allclose(evaluated, np.sin(mid * 6.0), atol=1e-4)
+    assert evaluated.shape == (31,)  # single column -> 1-D, like the reference
+    np.testing.assert_allclose(evaluated, np.sin(mid[:, 0] * 6.0), atol=1e-4)
 
 
 def test_nugget_smoothing():
@@ -82,7 +83,7 @@ def test_gradients_match_finite_difference():
         tp[:, d] += h
         tm = targets.copy()
         tm[:, d] -= h
-        fd = (rbfi.evaluate(tp) - rbfi.evaluate(tm))[:, 0] / (2 * h)
+        fd = (rbfi.evaluate(tp) - rbfi.evaluate(tm)) / (2 * h)
         np.testing.assert_allclose(grads[:, d], fd, rtol=1e-5, atol=1e-7)
 
 
@@ -137,7 +138,7 @@ def test_global_trend_fit():
         tp[:, d] += h
         tm = targets.copy()
         tm[:, d] -= h
-        fd = (rbfi.evaluate(tp) - rbfi.evaluate(tm))[:, 0] / (2 * h)
+        fd = (rbfi.evaluate(tp) - rbfi.evaluate(tm)) / (2 * h)
         np.testing.assert_allclose(grads[:, d], fd, rtol=1e-4, atol=1e-6)
 
 
@@ -154,7 +155,7 @@ def test_absolute_tolerance_config():
 
 def test_multi_rhs():
     points = generate_random_points(200, 2, seed=42)
-    v1 = RBFTestFunctions.franke_2d(points)
+    v1 = RBFTestFunctions.franke_2d(points)[:, None]
     v2 = np.sin(points[:, :1] * 5.0)
     values = np.concatenate([v1, v2], axis=1)
     settings = InterpolantSettings(kernel_type=RBFKernelType.ThinPlateSpline)
