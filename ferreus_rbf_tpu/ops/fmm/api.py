@@ -335,6 +335,7 @@ class FmmTree:
         if extents is None:
             extents = np.concatenate([pts.min(axis=0), pts.max(axis=0)])
         center, radius = calculate_tree_center_and_radius(np.asarray(extents, np.float64))
+        self._world_center = np.asarray(center, np.float64)
 
         self.tree: Octree = tree_mod.build_tree(
             pts,
@@ -510,10 +511,19 @@ class FmmTree:
     def _build_device_state(self):
         d = self.d
 
+        # All device-side geometry is stored RELATIVE to the tree centre.
+        # The kernels are translation-invariant, so f64 results are
+        # unchanged, but the f32 inner-matvec path becomes safe for
+        # real-world coordinates (UTM eastings/northings ~1e6-1e7 with
+        # metre-scale extents would lose ~3 decimal digits in a raw f32
+        # cast — measured as a 1.8e-3 solver stagnation floor on the
+        # albatite dataset).
+        center = self._world_center
         src_bucket_idx = jnp.asarray(self.src_bucket_idx)
         src_bucket_mask = jnp.asarray(self.src_bucket_mask)
-        pts_sorted = jnp.asarray(self.points_sorted)
-        src_centers = self.cell_centers[self.src_leaf_cells]
+        pts_sorted = jnp.asarray(self.points_sorted - center)
+        cell_centers_c = self.cell_centers - center
+        src_centers = cell_centers_c[self.src_leaf_cells]
         src_lengths = self.cell_lengths[self.src_leaf_cells]
 
         # P2M anterpolation weights are fixed per tree: (nsl, smax, p^d)
@@ -529,7 +539,7 @@ class FmmTree:
             p2l = (
                 jnp.asarray(self.p2l_tgt),
                 jnp.asarray(self.p2l_src_row),
-                jnp.asarray(self.cell_centers[self.p2l_tgt]),
+                jnp.asarray(cell_centers_c[self.p2l_tgt]),
                 jnp.asarray(self.cell_lengths[self.p2l_tgt]),
             )
 
@@ -560,14 +570,14 @@ class FmmTree:
             ],
             "p2l": p2l,
             "nodes_nd": jnp.asarray(self.nodes_nd),
-            "cell_centers": jnp.asarray(self.cell_centers),
+            "cell_centers": jnp.asarray(cell_centers_c),
             "cell_lengths": jnp.asarray(self.cell_lengths),
-            # every cell's Chebyshev nodes in world coordinates, flattened to
-            # (ncells * p^d, d) for the M2P concatenated-node gathers
+            # every cell's Chebyshev nodes in tree-centred coordinates,
+            # flattened to (ncells * p^d, d) for the M2P node gathers
             "cell_nodes_flat": jnp.asarray(
                 cheb.scale_nodes_to_cell(
                     self.nodes_nd,
-                    self.cell_centers,
+                    cell_centers_c,
                     self.cell_lengths,
                 )
             ).reshape(-1, d),
@@ -708,7 +718,7 @@ class FmmTree:
 
         n_pad = self._hwm_pad("n", n)
         targets_pad = np.zeros((n_pad, targets.shape[1]))
-        targets_pad[:n] = targets
+        targets_pad[:n] = targets - self._world_center  # tree-centred (see _build_device_state)
 
         binned = {
             "targets_pad": jnp.asarray(targets_pad),

@@ -331,3 +331,25 @@ def test_pallas_near_field_matches_scan():
         pp.p2p_rows = orig
     err = np.max(np.abs(v_pal - v_scan)) / np.max(np.abs(v_scan))
     assert err < 1e-5, err
+
+
+def test_f32_matvec_with_utm_scale_offsets():
+    """Real-world coordinates (UTM northings ~7.7e6 with metre-scale
+    extents) must not lose precision in the f32 inner-matvec path: device
+    geometry is stored tree-centred (translation-invariant kernels)."""
+    rng = np.random.default_rng(11)
+    offset = np.array([329_500.0, 7_744_800.0, 150.0])
+    pts = rng.random((3000, 3)) * np.array([460.0, 818.0, 542.0]) + offset
+    kp = KernelParams(KernelType.LinearRbf)
+    tree = FmmTree(pts, 5, kp, adaptive_tree=True, sparse=True)
+    tree.prepare_targets(pts, "src")
+    n_pad = tree._target_cache["src"]["n_pad"]
+    w = np.zeros((n_pad, 2))
+    w[:3000] = rng.standard_normal((3000, 2))
+    import jax.numpy as jnp
+
+    v64 = np.asarray(tree.evaluate_device(jnp.asarray(w), "src", precision="f64"))
+    v32 = np.asarray(tree.evaluate_device(jnp.asarray(w), "src", precision="f32"))
+    rel = np.max(np.abs(v32 - v64)) / np.max(np.abs(v64))
+    # raw-coordinate f32 casts give ~1e-3 here; centred geometry gives ~1e-7
+    assert rel < 5e-6, rel
