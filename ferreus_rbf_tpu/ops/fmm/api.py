@@ -53,6 +53,32 @@ def _next_pow2(n) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _chunk_m2l_level(u_stack, vt_stack, tgt, src, nnodes):
+    """Device M2L level entry with the interaction axis split into chunks.
+
+    The level einsum gathers (g, m, p^d, r) multipoles; at large N that
+    single materialisation overflows HBM (a 200k-pt p=7 matvec needed 29 GB).
+    tgt/src are reshaped to (nchunk, g, m_chunk) and the downward pass scans
+    over the chunk axis, bounding the transient at g*m_chunk*p^d*r.
+    """
+    g, m_pad = tgt.shape
+    budget = 1 << 26  # elements per chunked gather (~512 MB in f64 at r=1)
+    m_chunk = max(64, budget // max(g * nnodes, 1))
+    m_chunk = 1 << (int(m_chunk).bit_length() - 1)
+    m_chunk = min(m_chunk, m_pad)
+    nchunk = (m_pad + m_chunk - 1) // m_chunk
+    if m_pad % m_chunk:  # m_pad is pow2 and m_chunk <= m_pad, so it divides
+        raise AssertionError((m_pad, m_chunk))
+    tgt_r = tgt.reshape(g, nchunk, m_chunk).transpose(1, 0, 2)
+    src_r = src.reshape(g, nchunk, m_chunk).transpose(1, 0, 2)
+    return (
+        jnp.asarray(u_stack),
+        None if vt_stack is None else jnp.asarray(vt_stack),
+        jnp.asarray(np.ascontiguousarray(tgt_r)),
+        jnp.asarray(np.ascontiguousarray(src_r)),
+    )
+
+
 def _pallas_default() -> bool:
     """Use the fused Pallas near-field kernel on TPU backends.
 
@@ -116,22 +142,31 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     kernel = make_kernel(kparams, dtype=ct)
     mult_c = mult.astype(ct)
     local = jnp.zeros((mult_c.shape[0] + 1,) + mult_c.shape[1:], ct)
-    # One batched einsum chain per level. Groups are per m2l *vector id*
+    # One batched einsum chain per level, scanned over interaction chunks
+    # (memory-bounded; see _chunk_m2l_level). Groups are per m2l *vector id*
     # with the symmetry permutation pre-folded into (U, Vt) at plan time
     # (see _build_plan) — no runtime permutation gathers.
     for u_stack, vt_stack, tgt, src in dev["m2l_levels"]:
-        x = mult_c[src]  # (g, m, p^d, r)
         u_c = u_stack.astype(ct)
-        if vt_stack is None:
-            y = jnp.einsum("gpq,gmqr->gmpr", u_c, x)
-        else:
-            y = jnp.einsum(
-                "gpk,gmkr->gmpr", u_c,
-                jnp.einsum("gkq,gmqr->gmkr", vt_stack.astype(ct), x),
+        vt_c = None if vt_stack is None else vt_stack.astype(ct)
+
+        def _level_chunk(loc, ts, u_c=u_c, vt_c=vt_c):
+            tgt_c, src_c = ts  # (g, m_chunk)
+            x = mult_c[src_c]  # (g, m_chunk, p^d, r)
+            if vt_c is None:
+                y = jnp.einsum("gpq,gmqr->gmpr", u_c, x)
+            else:
+                y = jnp.einsum("gpk,gmkr->gmpr", u_c,
+                               jnp.einsum("gkq,gmqr->gmkr", vt_c, x))
+            loc = loc.at[tgt_c.reshape(-1)].add(
+                y.reshape((-1,) + y.shape[2:]), mode="drop"
             )
-        local = local.at[tgt.reshape(-1)].add(
-            y.reshape((-1,) + y.shape[2:]), mode="drop"
-        )
+            return loc, None
+
+        if tgt.shape[0] == 1:
+            local, _ = _level_chunk(local, (tgt[0], src[0]))
+        else:
+            local, _ = jax.lax.scan(_level_chunk, local, (tgt, src))
 
     local = local[:-1]  # drop the pad-target sentinel row
 
@@ -560,12 +595,7 @@ class FmmTree:
                 for grp in self.l2l_groups
             ],
             "m2l_levels": [
-                (
-                    jnp.asarray(u_stack),
-                    None if vt_stack is None else jnp.asarray(vt_stack),
-                    jnp.asarray(tgt),
-                    jnp.asarray(src),
-                )
+                _chunk_m2l_level(u_stack, vt_stack, tgt, src, self.nnodes)
                 for (_level, u_stack, vt_stack, tgt, src) in self.m2l_levels
             ],
             "p2l": p2l,

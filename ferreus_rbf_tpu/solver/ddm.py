@@ -310,15 +310,35 @@ class DDMTree:
                 if k:
                     q_top[b, :, : npts - k] = plan.q_top
             pts_b = self.points[pts_idx]
-            chol = _factor_bucket(
-                jnp.asarray(pts_b),
-                jnp.asarray(mask),
-                jnp.asarray(q_top),
-                kparams=kparams,
-                nugget=nugget,
-                k=k,
-                dtype=self.factor_dtype,
-            )
+            # Factor in fixed-size batch chunks: assembling every domain's
+            # (S, S) system at once scales as nb*S^2 temporaries (a 200k-pt
+            # fit needed 55 GB of HBM). Chunk size targets ~2 GB of
+            # assembly temporaries; pow2-fixed so one program serves all
+            # chunks, with the last chunk padded by repeating row 0 (its
+            # factors are discarded).
+            per_dom = s_pad * s_pad * 8 * 6  # A + QTAQ temps + cholesky ws
+            cap = max(1, int(2e9 // per_dom))
+            nb_chunk = 1 << (cap.bit_length() - 1)
+            chunks = []
+            for lo in range(0, nb, nb_chunk):
+                hi = min(lo + nb_chunk, nb)
+                sel = np.arange(lo, hi)
+                if hi - lo < nb_chunk:
+                    sel = np.concatenate([sel, np.zeros(nb_chunk - (hi - lo), np.int64)])
+                chunks.append(
+                    np.asarray(
+                        _factor_bucket(
+                            jnp.asarray(pts_b[sel]),
+                            jnp.asarray(mask[sel]),
+                            jnp.asarray(q_top[sel]),
+                            kparams=kparams,
+                            nugget=nugget,
+                            k=k,
+                            dtype=self.factor_dtype,
+                        )
+                    )[: hi - lo]
+                )
+            chol = jnp.asarray(np.concatenate(chunks, axis=0))
             if bool(jnp.any(jnp.isnan(chol))):
                 # numerically indefinite bucket: re-factor the offending
                 # domains on the host with the LDL fallback (``domain.rs:63``)
