@@ -112,17 +112,37 @@ def _upward(dev, weights, *, prec="f64"):
     ``prec="f32"`` runs P2M/M2M in float32 (mixed-precision inner matvec);
     the multipole expansion is upcast on return so downstream code always
     sees f64.
+
+    P2M anterpolation weights are computed ON THE FLY per leaf chunk (a
+    precomputed (nsl, smax, p^d) table costs 7.8 GB at 1M points) — the
+    Chebyshev recurrences are a tiny fraction of the contraction cost.
     """
     ct = jnp.float32 if prec == "f32" else jnp.float64
     w_sorted = weights[dev["point_order"]]
     ncells = dev["cell_centers"].shape[0]
-    nnodes = dev["w_src"].shape[2]
-    mult = jnp.zeros((ncells, nnodes, weights.shape[1]), ct)
-    nsl = dev["w_src"].shape[0]
-    wb = w_sorted[dev["src_bucket_idx"][:nsl]].astype(ct)
-    wb = jnp.where(dev["src_bucket_mask"][:nsl, :, None], wb, ct(0.0))
-    w_src = dev["w_src"].astype(ct)
-    mult = mult.at[dev["src_leaf_cells"]].add(jnp.einsum("lsp,lsr->lpr", w_src, wb))
+    nnodes = dev["m2m_ops"].shape[1]
+    d = dev["cell_centers"].shape[1]
+    nodes_t = dev["nodes_t"].astype(ct)
+    pts_c = dev["pts_sorted"].astype(ct)
+    mult = jnp.zeros((ncells + 1, nnodes, weights.shape[1]), ct)
+
+    idx_r, msk_r, ctr_r, len_r, cells_r = dev["p2m_scan"]
+
+    def p2m_chunk(mult_acc, sl):
+        idx, msk, ctr, ln, cells = sl
+        w_t, _ = cheb.anterpolation_weights(
+            pts_c[idx], ctr.astype(ct), ln.astype(ct), nodes_t, d, xp=jnp
+        )
+        wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
+        contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
+        return mult_acc.at[cells].add(contrib, mode="drop"), None
+
+    if idx_r.shape[0] == 1:
+        mult, _ = p2m_chunk(mult, tuple(a[0] for a in (idx_r, msk_r, ctr_r, len_r, cells_r)))
+    else:
+        mult, _ = jax.lax.scan(p2m_chunk, mult, (idx_r, msk_r, ctr_r, len_r, cells_r))
+    mult = mult[:-1]  # drop the pad-leaf sentinel row
+
     m2m_c = dev["m2m_ops"].astype(ct)
     for per_octant in dev["m2m_groups"]:
         for o, (ch, pa) in enumerate(per_octant):
@@ -172,14 +192,24 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
 
     p2l = dev["p2l"]
     if p2l is not None:
-        tgt, src_row, centers, lengths = p2l
-        nodes_scaled = cheb.scale_nodes_to_cell(dev["nodes_nd"], centers, lengths, xp=jnp)
-        sidx = dev["src_bucket_idx"][src_row]
-        smask = dev["src_bucket_mask"][src_row]
-        spts = dev["pts_sorted"][sidx]
-        k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), ct(0.0))
-        wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
-        local = local.at[tgt].add(jnp.einsum("mps,msr->mpr", k, wvals))
+        # scanned over x-pair chunks: the (m, p^d, smax) kernel block for
+        # all pairs at once is ~40 GB at 1M points
+        tgt_r, src_row_r, centers_r, lengths_r = p2l
+
+        def p2l_chunk(loc, sl):
+            tgt, src_row, centers, lengths = sl
+            nodes_scaled = cheb.scale_nodes_to_cell(dev["nodes_nd"], centers, lengths, xp=jnp)
+            sidx = dev["src_bucket_idx"][src_row]
+            smask = dev["src_bucket_mask"][src_row]
+            spts = dev["pts_sorted"][sidx]
+            k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), ct(0.0))
+            wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
+            return loc.at[tgt].add(jnp.einsum("mps,msr->mpr", k, wvals), mode="drop"), None
+
+        if tgt_r.shape[0] == 1:
+            local, _ = p2l_chunk(local, tuple(a[0] for a in p2l))
+        else:
+            local, _ = jax.lax.scan(p2l_chunk, local, p2l)
 
     m2m_c = dev["m2m_ops"].astype(ct)
     for per_octant in dev["l2l_groups"]:
@@ -189,20 +219,42 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
 
 
 def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads, prec="f64"):
+    """L2P scanned over target-row chunks: the anterpolation-weight
+    transient is (chunk, T, p^d), not (all rows, T, p^d) — the full table
+    is ~4 GB at 1M targets with p=7."""
     ct = jnp.float32 if prec == "f32" else jnp.float64
     nodes_t = dev["nodes_t"].astype(ct)
     tpts = targets[tgt_idx]
-    centers = dev["cell_centers"][tcells].astype(ct)
-    lengths = dev["cell_lengths"][tcells].astype(ct)
-    loc = local[tcells].astype(ct)
-    w_t, dw_t = cheb.anterpolation_weights(
-        tpts.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
-    )
-    vals_b = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
-    if with_grads:
-        grads_b = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
+    r = local.shape[-1]
+    rows, t = tgt_idx.shape
+    nnodes = local.shape[-2]
+    chunk = max(8, (1 << 25) // max(t * nnodes, 1))
+    chunk = 1 << (int(chunk).bit_length() - 1)
+    chunk = min(chunk, rows)  # rows is pow2-padded, so chunk divides it
+
+    def l2p_chunk(_, sl):
+        tp, tc = sl
+        centers = dev["cell_centers"][tc].astype(ct)
+        lengths = dev["cell_lengths"][tc].astype(ct)
+        loc = local[tc].astype(ct)
+        w_t, dw_t = cheb.anterpolation_weights(
+            tp.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
+        )
+        vals = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
+        if with_grads:
+            grads = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
+        else:
+            grads = jnp.zeros(vals.shape + (d,), jnp.float64)
+        return None, (vals, grads)
+
+    if chunk == rows:
+        _, (vals_b, grads_b) = l2p_chunk(None, (tpts, tcells))
     else:
-        grads_b = jnp.zeros(vals_b.shape + (d,), jnp.float64)
+        nch = rows // chunk
+        resh = lambda a: a.reshape((nch, chunk) + a.shape[1:])
+        _, (v, g) = jax.lax.scan(l2p_chunk, None, (resh(tpts), resh(tcells)))
+        vals_b = v.reshape((rows,) + v.shape[2:])
+        grads_b = g.reshape((rows,) + g.shape[2:])
     return tpts, vals_b, grads_b
 
 
@@ -238,6 +290,49 @@ def _row_chunk_scan(kernel, with_grads, tpts_rows, tmask_rows, src_pts, src_mask
     return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
 
 
+def _near_field_class(
+    kernel, kparams, pallas_nf, with_grads, ct,
+    tpts, tgt_mask, src_coords, src_vals, rows, idx_tab, mask_tab, chunk,
+):
+    """One width class of the near field, scanned over ROW CHUNKS with the
+    source gathers INSIDE the scan body — the fully-gathered (R, S, d+nrhs)
+    tables are multi-GB at 1M points, so only one chunk is ever live."""
+    coords_c = src_coords.astype(ct)
+    vals_c = src_vals.astype(ct)
+
+    def body(_, xs):
+        rws, sidx, smask = xs
+        sp = coords_c[sidx]  # (chunk, S, d)
+        wv = jnp.where(smask[..., None], vals_c[sidx], ct(0.0))
+        tp = tpts[rws].astype(ct)
+        if pallas_nf:
+            vals = p2p_pallas.p2p_rows(
+                tp, sp.transpose(0, 2, 1), wv.transpose(0, 2, 1), kparams=kparams
+            )
+            return None, (vals, jnp.zeros(vals.shape + (tp.shape[-1],), ct))
+        if with_grads:
+            k, g = kernel.pair_with_grad(tp, sp)
+            k = jnp.where(smask[:, None, :], k, 0.0)
+            g = jnp.where(smask[:, None, :, None], g, 0.0)
+            vals = jnp.einsum("cts,csr->ctr", k, wv)
+            grads = jnp.einsum("ctsd,csr->ctrd", g, wv)
+            return None, (vals, grads)
+        k = jnp.where(smask[:, None, :], kernel.pair(tp, sp), 0.0)
+        vals = jnp.einsum("cts,csr->ctr", k, wv)
+        return None, (vals, jnp.zeros(vals.shape + (tp.shape[-1],), ct))
+
+    r = rows.shape[0]
+    nc = r // chunk
+    if nc <= 1:
+        _, (vals, grads) = body(None, (rows, idx_tab, mask_tab))
+        return vals, grads
+    resh = lambda a: a.reshape((nc, chunk) + a.shape[1:])
+    _, (vals, grads) = jax.lax.scan(
+        body, None, (resh(rows), resh(idx_tab), resh(mask_tab))
+    )
+    return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
+
+
 @_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
@@ -263,38 +358,24 @@ def _leaf_all(
     )
 
     # P2P over concatenated neighbour-source tables
-    for (rows, sidx_tab, smask_tab), (_s_class, chunk) in zip(p2p_groups, p2p_meta):
-        sp = dev["pts_sorted"][sidx_tab].astype(ct)
-        wv = jnp.where(smask_tab[..., None], w_sorted[sidx_tab].astype(ct), ct(0.0))
-        if pallas_nf:
-            vals = p2p_pallas.p2p_rows(
-                tpts[rows].astype(ct), sp.transpose(0, 2, 1), wv.transpose(0, 2, 1),
-                kparams=kparams,
-            )
-            grads = None
-        else:
-            vals, grads = _row_chunk_scan(
-                kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, smask_tab, wv, chunk
-            )
+    for (rows, sidx_tab, smask_tab), (_s_class, c_scan, c_pal) in zip(p2p_groups, p2p_meta):
+        vals, grads = _near_field_class(
+            kernel, kparams, pallas_nf, with_grads, ct,
+            tpts, tgt_mask, dev["pts_sorted"], w_sorted, rows, sidx_tab, smask_tab,
+            c_pal if pallas_nf else c_scan,
+        )
         vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:
             grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
     # M2P over concatenated w-cell Chebyshev-node tables
-    mult_flat = mult.reshape(-1, mult.shape[-1]).astype(ct)
-    for (rows, nidx_tab, nmask_tab), (_w_class, chunk) in zip(m2p_groups, m2p_meta):
-        sp = dev["cell_nodes_flat"][nidx_tab].astype(ct)
-        wv = jnp.where(nmask_tab[..., None], mult_flat[nidx_tab], ct(0.0))
-        if pallas_nf:
-            vals = p2p_pallas.p2p_rows(
-                tpts[rows].astype(ct), sp.transpose(0, 2, 1), wv.transpose(0, 2, 1),
-                kparams=kparams,
-            )
-            grads = None
-        else:
-            vals, grads = _row_chunk_scan(
-                kernel, with_grads, tpts[rows].astype(ct), tgt_mask[rows], sp, nmask_tab, wv, chunk
-            )
+    mult_flat = mult.reshape(-1, mult.shape[-1])
+    for (rows, nidx_tab, nmask_tab), (_w_class, c_scan, c_pal) in zip(m2p_groups, m2p_meta):
+        vals, grads = _near_field_class(
+            kernel, kparams, pallas_nf, with_grads, ct,
+            tpts, tgt_mask, dev["cell_nodes_flat"], mult_flat, rows, nidx_tab, nmask_tab,
+            c_pal if pallas_nf else c_scan,
+        )
         vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:
             grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
@@ -561,22 +642,46 @@ class FmmTree:
         src_centers = cell_centers_c[self.src_leaf_cells]
         src_lengths = self.cell_lengths[self.src_leaf_cells]
 
-        # P2M anterpolation weights are fixed per tree: (nsl, smax, p^d)
-        src_pts_b = pts_sorted[src_bucket_idx[: self.nsl]]
-        w_src, _ = cheb.anterpolation_weights(
-            src_pts_b, jnp.asarray(src_centers), jnp.asarray(src_lengths),
-            self.nodes_t, d, xp=jnp,
-        )
-        w_src = jnp.where(src_bucket_mask[: self.nsl, :, None], w_src, 0.0)
+        # P2M scan plan: (nchunk, chunk) leaf tables; weights are computed
+        # on the fly inside _upward (see there for why). Chunk sized so the
+        # per-chunk (chunk, smax, p^d) transient stays ~256 MB in f64.
+        nsl = self.nsl
+        chunk = max(8, (1 << 25) // max(self.smax * self.nnodes, 1))
+        chunk = 1 << (int(chunk).bit_length() - 1)
+        nsl_pad = ((nsl + chunk - 1) // chunk) * chunk
+        chunk = min(chunk, nsl_pad)
+        idx_t = np.zeros((nsl_pad, self.smax), np.int64)
+        msk_t = np.zeros((nsl_pad, self.smax), bool)
+        ctr_t = np.ones((nsl_pad, d))
+        len_t = np.ones(nsl_pad)
+        cells_t = np.full(nsl_pad, self.tree.num_cells, np.int64)
+        idx_t[:nsl] = self.src_bucket_idx[:nsl]
+        msk_t[:nsl] = self.src_bucket_mask[:nsl]
+        ctr_t[:nsl] = src_centers
+        len_t[:nsl] = src_lengths
+        cells_t[:nsl] = self.src_leaf_cells
+        resh = lambda a: jnp.asarray(a.reshape((nsl_pad // chunk, chunk) + a.shape[1:]))
+        p2m_scan = (resh(idx_t), resh(msk_t), resh(ctr_t), resh(len_t), resh(cells_t))
 
         p2l = None
         if self.p2l_tgt.size:
-            p2l = (
-                jnp.asarray(self.p2l_tgt),
-                jnp.asarray(self.p2l_src_row),
-                jnp.asarray(cell_centers_c[self.p2l_tgt]),
-                jnp.asarray(self.cell_lengths[self.p2l_tgt]),
-            )
+            # (nchunk, chunk) x-pair tables for the scanned P2L (see
+            # _downward); pad pairs use an out-of-range drop target.
+            m = self.p2l_tgt.size
+            pc = max(8, (1 << 27) // max(self.nnodes * self.smax, 1))
+            pc = 1 << (int(pc).bit_length() - 1)
+            m_pad = ((m + pc - 1) // pc) * pc
+            pc = min(pc, m_pad)
+            tgt_t = np.full(m_pad, self.tree.num_cells + 1, np.int64)
+            srcr_t = np.zeros(m_pad, np.int64)
+            ctr_t2 = np.ones((m_pad, d))
+            len_t2 = np.ones(m_pad)
+            tgt_t[:m] = self.p2l_tgt
+            srcr_t[:m] = self.p2l_src_row
+            ctr_t2[:m] = cell_centers_c[self.p2l_tgt]
+            len_t2[:m] = self.cell_lengths[self.p2l_tgt]
+            resh2 = lambda a: jnp.asarray(a.reshape((m_pad // pc, pc) + a.shape[1:]))
+            p2l = (resh2(tgt_t), resh2(srcr_t), resh2(ctr_t2), resh2(len_t2))
 
         self._dev = {
             "point_order": jnp.asarray(self.tree.point_order),
@@ -584,7 +689,7 @@ class FmmTree:
             "src_bucket_idx": src_bucket_idx,
             "src_bucket_mask": src_bucket_mask,
             "src_leaf_cells": jnp.asarray(self.src_leaf_cells),
-            "w_src": w_src,
+            "p2m_scan": p2m_scan,
             "m2m_ops": jnp.asarray(self.m2m_ops),
             "m2m_groups": [
                 [(jnp.asarray(ch), jnp.asarray(pa)) for ch, pa in grp]
@@ -726,12 +831,20 @@ class FmmTree:
                 )[0]
                 if sel.size == 0:
                     continue
-                chunk = max(1, int(2**22 // max(tmax * w_class, 1)))
+                # Two row-chunk sizes: the XLA-scan path materialises a
+                # (chunk, T, w_class) kernel matrix so its chunk is bounded
+                # by that; the Pallas path keeps the kernel matrix in VMEM
+                # and is bounded only by the gathered (chunk, w_class)
+                # coordinate/weight slabs.
+                chunk_scan = max(1, (1 << 22) // max(tmax * w_class, 1))
+                chunk_pallas = max(8, (1 << 23) // max(w_class, 1))
+                chunk_pallas = 1 << (int(chunk_pallas).bit_length() - 1)
                 g = self._hwm_pad(f"{kind}_rows_{w_class}", sel.size)
-                g = ((g + chunk - 1) // chunk) * chunk
-                rsel = np.full(g, ntl_pad, np.int64)  # out-of-range: dropped
+                chunk_scan = min(chunk_scan, g)
+                chunk_pallas = min(chunk_pallas, g)  # pow2: both divide g
+                rsel = np.full(g, ntl_pad, np.int32)  # out-of-range: dropped
                 rsel[: sel.size] = sel
-                tab = np.zeros((g, w_class), np.int64)
+                tab = np.zeros((g, w_class), np.int32)
                 mask = np.zeros((g, w_class), bool)
                 for j, ri in enumerate(sel):
                     cc = concat_map[row_cell[ri]]
@@ -740,7 +853,7 @@ class FmmTree:
                 groups.append(
                     (jnp.asarray(rsel), jnp.asarray(tab), jnp.asarray(mask))
                 )
-                meta.append((w_class, chunk))
+                meta.append((w_class, chunk_scan, chunk_pallas))
             return tuple(groups), tuple(meta)
 
         p2p_groups, p2p_meta = build_groups(cell_src_concat, "p2p")

@@ -33,7 +33,9 @@ def chebyshev_polynomials(x, p: int, xp=np, with_derivatives: bool = False):
     T_0 = 1, T_1 = x, T_{k+1} = 2x T_k - T_{k-1};
     T'_0 = 0, T'_1 = 1, T'_{k+1} = 2 T_k + 2x T'_k - T'_{k-1}.
     """
-    x = xp.asarray(x, dtype=xp.float64)
+    x = xp.asarray(x)
+    if x.dtype not in (xp.float32, xp.float64):
+        x = x.astype(xp.float64)
     cols = [xp.ones_like(x)]
     dcols = [xp.zeros_like(x)] if with_derivatives else None
     if p > 1:
@@ -124,9 +126,11 @@ def anterpolation_weights(points, center, length, nodes_t: np.ndarray, d: int, x
     ``center``/``length`` may be scalars or broadcastable batch arrays.
     """
     p = nodes_t.shape[0]
-    pts = xp.asarray(points, dtype=xp.float64)
-    center = xp.asarray(center, dtype=xp.float64)
-    length = xp.asarray(length, dtype=xp.float64)
+    pts = xp.asarray(points)
+    if pts.dtype not in (xp.float32, xp.float64):
+        pts = pts.astype(xp.float64)
+    center = xp.asarray(center, dtype=pts.dtype)
+    length = xp.asarray(length, dtype=pts.dtype)
     scaled = (pts - center[..., None, :]) / (length[..., None, None] * 0.5)
 
     s_per_dim = []

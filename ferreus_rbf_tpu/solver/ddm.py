@@ -143,11 +143,15 @@ def _solve_bucket(residual, pts_idx, mask, internal, q_top, chol, *, k, n_out):
         rhs = jnp.einsum("bkm,bkr->bmr", q_top, d[:, :k]) + d[:, k:]
     else:
         rhs = d
-    cholf = chol.astype(jnp.float64)
-    y = jax.scipy.linalg.solve_triangular(cholf, rhs, lower=True)
+    # Solve in the factors' own precision: FGMRES is flexible, so an f32
+    # preconditioner application is fine, and upcasting the factors to f64
+    # costs 4x the HBM (f64 is stored as two f32 planes on TPU) plus
+    # emulated-f64 triangular-solve time.
+    st = chol.dtype
+    y = jax.scipy.linalg.solve_triangular(chol, rhs.astype(st), lower=True)
     gamma = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(cholf, -1, -2), y, lower=False
-    )
+        jnp.swapaxes(chol, -1, -2), y, lower=False
+    ).astype(jnp.float64)
     if k:
         lam = jnp.concatenate([jnp.einsum("bkm,bmr->bkr", q_top, gamma), gamma], axis=1)
     else:
@@ -175,7 +179,40 @@ class DDMTree:
         self.global_trend = global_trend
         self.factor_dtype = factor_dtype
         self.levels: list[Level] = []
+        self._autoscale_leaf_threshold()
         self._build()
+
+    def _autoscale_leaf_threshold(self):
+        """Halve leaf_threshold until the projected device factor memory
+        fits the HBM budget.
+
+        The stored Cholesky factors cost ~ndomains * S^2 with
+        S ~ leaf * (1 + overlap), i.e. LINEAR in leaf size — at 1M points
+        the reference default (1024) wants ~9 GB of a 16 GB chip for the
+        finest level alone. Halving trades a few extra Schwarz iterations
+        for fitting on-chip. Env override FERREUS_RBF_TPU_DDM_MEM_GB.
+        """
+        import dataclasses
+        import os
+
+        budget = float(os.environ.get("FERREUS_RBF_TPU_DDM_MEM_GB", "5.0")) * 1e9
+        bytes_per = 4 if self.factor_dtype == jnp.float32 else 8
+        n = self.points.shape[0]
+        leaf = self.params.leaf_threshold
+
+        def projected(leaf_sz):
+            total = 0.0
+            m = n
+            while m > self.params.coarse_threshold:
+                s = leaf_sz * (1.0 + self.params.overlap_quota)
+                total += max(m / leaf_sz, 1.0) * s * s * bytes_per
+                m = int(m * self.params.coarse_ratio)
+            return total
+
+        while leaf > 128 and projected(leaf) > budget:
+            leaf //= 2
+        if leaf != self.params.leaf_threshold:
+            self.params = dataclasses.replace(self.params, leaf_threshold=leaf)
 
     # -------------------------------------------------------------- build
     def _build(self):
