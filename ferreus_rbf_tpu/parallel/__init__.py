@@ -12,6 +12,20 @@ shardings for this workload (section 5.8 of SURVEY.md):
 * the coarse solve is small and replicated.
 """
 
-from .sharding import make_mesh, shard_leading_axis, replicate
+from .sharding import (
+    active_mesh,
+    make_mesh,
+    replicate,
+    shard_axis_size,
+    shard_leading_axis,
+    use_mesh,
+)
 
-__all__ = ["make_mesh", "shard_leading_axis", "replicate"]
+__all__ = [
+    "active_mesh",
+    "make_mesh",
+    "replicate",
+    "shard_axis_size",
+    "shard_leading_axis",
+    "use_mesh",
+]

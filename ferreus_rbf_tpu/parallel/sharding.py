@@ -19,6 +19,13 @@ def make_mesh(n_devices: int | None = None, axis_names=("sp",)) -> Mesh:
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(devices)} "
+            f"devices are visible; provision a virtual CPU mesh with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            f"before JAX backend initialisation"
+        )
     devices = np.asarray(devices[:n_devices])
     if len(axis_names) == 1:
         shape = (n_devices,)
@@ -64,3 +71,50 @@ def replicate(mesh: Mesh, x):
         return jax.device_put(arr, NamedSharding(mesh, PartitionSpec()))
 
     return jax.tree_util.tree_map(put, x)
+
+
+# --------------------------------------------------------------------------
+# Active mesh: lets the solver layers shard their batched tensors without
+# threading a mesh argument through every constructor. GSPMD then partitions
+# the jitted programs over the committed shardings — no pjit annotations
+# needed at the call sites.
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def active_mesh() -> Mesh | None:
+    """The mesh installed by :func:`use_mesh`, or ``None`` (single device)."""
+    return _ACTIVE_MESH
+
+
+class use_mesh:
+    """Context manager: shard solver state built inside over ``mesh``.
+
+    While active, ``DDMTree`` commits its Schwarz leaf buckets with the
+    domain (leading) axis sharded over the mesh's ``"sp"`` axis, so the
+    batched QTAQ Cholesky back-solves — the per-iteration preconditioner
+    cost — are partitioned across devices (the TPU-native replacement for
+    the reference's rayon loop at ``schwarz.rs:92-110``).
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._prev = None
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+def shard_axis_size(mesh: Mesh | None, axis: str) -> int:
+    """Size of ``axis`` in ``mesh`` (1 when absent / no mesh)."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(axis, 1))

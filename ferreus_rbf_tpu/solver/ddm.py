@@ -38,6 +38,7 @@ from ..ops.polynomials import (
     evaluate_monomials,
     get_lagrange_coefficients,
 )
+from ..parallel.sharding import active_mesh, shard_axis_size
 from ..utils.common import farthest_point_sampling, get_cheb_cube_scaling_factors
 from .domain import Domain, _rank_from_pivoted_qr
 
@@ -179,6 +180,11 @@ class DDMTree:
         self.global_trend = global_trend
         self.factor_dtype = factor_dtype
         self.levels: list[Level] = []
+        # Multi-chip: when a mesh is active (parallel.use_mesh), the Schwarz
+        # leaf buckets are committed with their domain axis sharded over
+        # "sp", so the batched back-solves partition across devices.
+        self.mesh = active_mesh()
+        self._sp = shard_axis_size(self.mesh, "sp")
         self._autoscale_leaf_threshold()
         self._build()
 
@@ -375,25 +381,55 @@ class DDMTree:
                         )
                     )[: hi - lo]
                 )
-            chol = jnp.asarray(np.concatenate(chunks, axis=0))
-            if bool(jnp.any(jnp.isnan(chol))):
+            chol = np.concatenate(chunks, axis=0)
+            if np.any(np.isnan(chol)):
                 # numerically indefinite bucket: re-factor the offending
                 # domains on the host with the LDL fallback (``domain.rs:63``)
-                chol = np.asarray(chol)
                 bad = np.nonzero(np.isnan(chol).any(axis=(1, 2)))[0]
                 chol = self._host_refactor(plans, chol, bad, k)
-                chol = jnp.asarray(chol)
-            buckets.append(
-                {
-                    "pts_idx": jnp.asarray(pts_idx),
-                    "mask": jnp.asarray(mask),
-                    "internal": jnp.asarray(internal),
-                    "q_top": jnp.asarray(q_top),
-                    "chol": chol,
-                    "k": k,
-                }
-            )
+            bucket = {
+                "pts_idx": pts_idx,
+                "mask": mask,
+                "internal": internal,
+                "q_top": q_top,
+                "chol": chol,
+                "k": k,
+            }
+            buckets.append(self._commit_bucket(bucket))
         level.device = LevelBuckets(buckets)
+
+    def _commit_bucket(self, bucket):
+        """Put one bucket's arrays on device; shard over "sp" when meshed.
+
+        Padded domains repeat domain 0 with ``internal=False`` so the padded
+        solves run (identically on every shard) but scatter nothing.
+        """
+        k = bucket.pop("k")
+        sp = self._sp
+        nb = bucket["pts_idx"].shape[0]
+        pad = (-nb) % sp
+        if pad:
+            for key, a in bucket.items():
+                a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                if key == "internal":
+                    a[nb:] = False
+                bucket[key] = a
+        if sp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            out = {
+                key: jax.device_put(
+                    jnp.asarray(a),
+                    NamedSharding(
+                        self.mesh, PartitionSpec("sp", *([None] * (a.ndim - 1)))
+                    ),
+                )
+                for key, a in bucket.items()
+            }
+        else:
+            out = {key: jnp.asarray(a) for key, a in bucket.items()}
+        out["k"] = k
+        return out
 
     def _host_refactor(self, plans, chol, bad, k):
         """Host fallback for non-SPD leaves: dense Cholesky with jitter."""
@@ -432,6 +468,10 @@ class DDMTree:
         """All leaf solves of one level; returns internal-row coefficients."""
         level = self.levels[level_idx]
         res = jnp.asarray(residual)
+        if self._sp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            res = jax.device_put(res, NamedSharding(self.mesh, PartitionSpec()))
         n_out = residual.shape[0]
         out = jnp.zeros((n_out, residual.shape[1]), jnp.float64)
         for bucket in level.device.buckets:
