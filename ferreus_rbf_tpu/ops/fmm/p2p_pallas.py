@@ -59,6 +59,88 @@ def _row_kernel(t_ref, s_ref, w_ref, o_ref, *, phi_r2, d):
     )
 
 
+def _pair_kernel(nbr_ref, t_ref, s_ref, w_ref, o_ref, *, phi_r2, d, nu):
+    # grid (R, U); t_ref (1, T, d); s_ref (1, d, S); w_ref (1, nrhs, S);
+    # o_ref (1, T, nrhs) revisited across the U axis (accumulate).
+    u = pl.program_id(1)
+    tcol = t_ref[0, :, 0:1]
+    srow = s_ref[0, 0:1, :]
+    dd = tcol - srow
+    r2 = dd * dd
+    for i in range(1, d):
+        dd = t_ref[0, :, i : i + 1] - s_ref[0, i : i + 1, :]
+        r2 = r2 + dd * dd
+    k = phi_r2(r2)  # (T, S)
+    acc = jax.lax.dot_general(
+        k,
+        w_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(u == 0)
+    def _():
+        o_ref[0] = acc
+
+    @pl.when(u != 0)
+    def _():
+        o_ref[0] = o_ref[0] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "interpret"))
+def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interpret=False):
+    """Near-field pass tiled by (target row, neighbour leaf) pairs.
+
+    The source data stays in its BUCKETED layout — ``src_coords_t``
+    (L+1, d, S) and ``src_w_t`` (L+1, nrhs, S) with padded entries (and the
+    sentinel row L) zero-weighted — and the per-pair tiles are DMA'd into
+    VMEM directly by the Pallas pipeline via a scalar-prefetched neighbour
+    table ``nbr_tab`` (R, U) of source-bucket rows. This removes the
+    multi-hundred-MB per-matvec XLA gather + transpose of concatenated
+    source slabs that the row-table formulation required (each leaf's
+    points were duplicated into ~27 neighbour tables); HBM traffic drops to
+    one read of each leaf tile per neighbour relation.
+
+    tgt_tiles (R, T, d) f32. Returns (R, T, nrhs) f32.
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_tiles.shape
+    _, dd, s = src_coords_t.shape
+    nrhs = src_w_t.shape[1]
+    u = nbr_tab.shape[1]
+    phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
+    body = functools.partial(_pair_kernel, phi_r2=phi, d=d, nu=u)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, u),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda nbr, i, j: (i, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec(
+                (1, dd, s), lambda nbr, i, j: (nbr[i, j], 0, 0), memory_space=_VMEM
+            ),
+            pl.BlockSpec(
+                (1, nrhs, s), lambda nbr, i, j: (nbr[i, j], 0, 0), memory_space=_VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, nrhs), lambda nbr, i, j: (i, 0, 0), memory_space=_VMEM
+        ),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+        interpret=interpret,
+    )(
+        nbr_tab,
+        tgt_tiles.astype(jnp.float32),
+        src_coords_t.astype(jnp.float32),
+        src_w_t.astype(jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("kparams", "interpret"))
 def p2p_rows(tpts_rows, src_pts_t, src_w_t, *, kparams, interpret=False):
     """Fused near-field row pass.

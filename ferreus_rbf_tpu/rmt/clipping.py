@@ -74,24 +74,49 @@ def clip_mesh_to_aabb(vertices, facets, extents, eps):
         (2, lo[2], True), (2, hi[2], False),
     ]
 
-    out_vertices = []
-    out_facets = []
-    for tri in tris:
-        poly = [tuple(verts[v]) for v in tri]
+    # Fast path: triangles strictly inside the box (beyond the snap eps of
+    # every plane) are emitted unchanged — only boundary-crossing triangles
+    # go through the Python Sutherland-Hodgman loop. For interior-dominated
+    # meshes this removes ~all of the per-triangle Python cost.
+    pts = verts[tris]  # (M, 3, 3)
+    strict = np.all((pts > lo + eps) & (pts < hi - eps), axis=(1, 2))
+
+    slow_polys = {}
+    for ti in np.nonzero(~strict)[0]:
+        poly = [tuple(verts[v]) for v in tris[ti]]
         for axis, coord, keep_ge in planes:
             poly = _clip_polygon(poly, axis, coord, keep_ge, lo, hi, eps)
             if len(poly) < 3:
                 break
-        if len(poly) < 3:
-            continue
-        base = len(out_vertices)
-        out_vertices.extend(poly)
-        for i in range(1, len(poly) - 1):
-            out_facets.append([base, base + i, base + i + 1])
+        slow_polys[int(ti)] = poly if len(poly) >= 3 else []
 
-    verts_out = np.asarray(out_vertices, np.float64).reshape(-1, 3)
-    facets_out = np.asarray(out_facets, np.int64).reshape(-1, 3)
-    return verts_out, facets_out
+    nv_per = np.where(strict, 3, 0)
+    for ti, poly in slow_polys.items():
+        nv_per[ti] = len(poly)
+    v_off = np.concatenate([[0], np.cumsum(nv_per)])
+    total_v = int(v_off[-1])
+
+    verts_out = np.zeros((total_v, 3))
+    strict_idx = np.nonzero(strict)[0]
+    scatter = (v_off[strict_idx][:, None] + np.arange(3)[None]).reshape(-1)
+    verts_out[scatter] = pts[strict_idx].reshape(-1, 3)
+
+    facet_parts = [np.stack([v_off[strict_idx], v_off[strict_idx] + 1,
+                             v_off[strict_idx] + 2], axis=1)]
+    slow_facets = []
+    for ti, poly in slow_polys.items():
+        if not poly:
+            continue
+        base = int(v_off[ti])
+        verts_out[base : base + len(poly)] = np.asarray(poly)
+        for i in range(1, len(poly) - 1):
+            slow_facets.append([base, base + i, base + i + 1])
+    if slow_facets:
+        facet_parts.append(np.asarray(slow_facets, np.int64))
+    facets_out = np.concatenate(facet_parts).astype(np.int64)
+    # restore original triangle emission order
+    facets_out = facets_out[np.argsort(facets_out[:, 0], kind="stable")]
+    return verts_out, facets_out.reshape(-1, 3)
 
 
 def facets_fully_inside_aabb(vertices, facets, extents, eps):

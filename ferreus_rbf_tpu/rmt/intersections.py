@@ -285,13 +285,26 @@ def get_intersecting_triangles(vertices, facets) -> np.ndarray:
                 out.add(int(a))
                 out.add(int(b))
 
-    # Everything else (no shared ids) goes through the scalar narrow phase —
-    # a handful of pairs in practice.
+    # Everything else (no shared ids): batch Moller's two plane-side
+    # rejections first — they kill almost every candidate — then run the
+    # scalar narrow phase only on the survivors.
     sel0 = nondegen & (shared == 0)
-    for a, b in zip(a_i[sel0], b_i[sel0]):
-        if _is_true_self_intersection(tris[a], tris[b], pts[a], pts[b], tol):
-            out.add(int(a))
-            out.add(int(b))
+    if np.any(sel0):
+        pa0, pb0 = pa[sel0], pb[sel0]
+        na0, nb0 = n_a[sel0], n_b[sel0]
+        eps = 1e-12
+        dv2 = np.einsum("mjk,mk->mj", pb0 - pa0[:, 0:1, :], na0)
+        dv2 = np.where(np.abs(dv2) < eps, 0.0, dv2)
+        dv1 = np.einsum("mjk,mk->mj", pa0 - pb0[:, 0:1, :], nb0)
+        dv1 = np.where(np.abs(dv1) < eps, 0.0, dv1)
+        alive = ~(
+            np.all(dv2 > 0, axis=1) | np.all(dv2 < 0, axis=1)
+            | np.all(dv1 > 0, axis=1) | np.all(dv1 < 0, axis=1)
+        )
+        for a, b in zip(a_i[sel0][alive], b_i[sel0][alive]):
+            if _is_true_self_intersection(tris[a], tris[b], pts[a], pts[b], tol):
+                out.add(int(a))
+                out.add(int(b))
     return np.asarray(sorted(out), np.int64)
 
 
