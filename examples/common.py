@@ -4,12 +4,13 @@ import os
 
 import numpy as np
 
-# The real-geology signed-distance dataset shipped with the reference
-# (35,801 points: X, Y, Z, SignedDistance). Read from the reference mount
-# when present; otherwise synthesise a comparable SD point cloud so the
-# examples run standalone.
+# The real-geology signed-distance dataset (35,801 points: X, Y, Z,
+# SignedDistance), vendored under datasets/ at the repo root (the reference
+# vendors the same file in its datasets/ dir). Falls back to a synthetic SD
+# point cloud if the file is missing so the examples always run.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALBATITE_CSV = os.environ.get(
-    "ALBATITE_CSV", "/root/reference/datasets/albatite_SD_points.csv"
+    "ALBATITE_CSV", os.path.join(_REPO_ROOT, "datasets", "albatite_SD_points.csv")
 )
 
 

@@ -50,7 +50,15 @@ def get_default_fmm_interpolation_order(kernel_type: RBFKernelType) -> int:
 
 @dataclasses.dataclass
 class FmmParams:
-    """FMM tuning parameters (``config.rs:209-252``)."""
+    """FMM tuning parameters (``config.rs:209-252``).
+
+    ``eval_chunk_size`` mirrors the reference's leaf-pass target chunking
+    (``bbfmm.rs:1277,1369``). On TPU the leaf pass is scanned over row
+    chunks whose transient HBM footprint is bounded by fixed byte budgets;
+    this knob scales those budgets (and hence the chunk sizes) linearly,
+    with 1024 reproducing the defaults. Smaller values bound peak memory
+    tighter at the cost of more scan steps.
+    """
 
     interpolation_order: int = 7
     max_points_per_cell: int = 256

@@ -218,17 +218,18 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     return local.astype(jnp.float64)
 
 
-def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads, prec="f64"):
+def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grads, prec="f64", ecs=1024):
     """L2P scanned over target-row chunks: the anterpolation-weight
     transient is (chunk, T, p^d), not (all rows, T, p^d) — the full table
-    is ~4 GB at 1M targets with p=7."""
+    is ~4 GB at 1M targets with p=7. ``ecs`` (FmmParams.eval_chunk_size)
+    linearly scales the transient budget; 1024 is the reference default."""
     ct = jnp.float32 if prec == "f32" else jnp.float64
     nodes_t = dev["nodes_t"].astype(ct)
     tpts = targets[tgt_idx]
     r = local.shape[-1]
     rows, t = tgt_idx.shape
     nnodes = local.shape[-2]
-    chunk = max(8, (1 << 25) // max(t * nnodes, 1))
+    chunk = max(8, ((1 << 25) * max(int(ecs), 1) // 1024) // max(t * nnodes, 1))
     chunk = 1 << (int(chunk).bit_length() - 1)
     chunk = min(chunk, rows)  # rows is pow2-padded, so chunk divides it
 
@@ -256,9 +257,6 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
         vals_b = v.reshape((rows,) + v.shape[2:])
         grads_b = g.reshape((rows,) + g.shape[2:])
     return tpts, vals_b, grads_b
-
-
-_l2p = _partial(jax.jit, static_argnames=("d", "p", "with_grads", "prec"))(_l2p_impl)
 
 
 def _row_chunk_scan(kernel, with_grads, tpts_rows, tmask_rows, src_pts, src_mask, src_w, chunk):
@@ -333,11 +331,11 @@ def _near_field_class(
     return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
 
 
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas", "ecs"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
     p2p_groups, m2p_groups, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, with_grads,
-    prec="f64", use_pallas=False,
+    prec="f64", use_pallas=False, ecs=1024,
 ):
     """The whole leaf pass as ONE compiled program.
 
@@ -354,7 +352,7 @@ def _leaf_all(
     pallas_nf = use_pallas and prec == "f32" and not with_grads
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p,
-        with_grads=with_grads, prec=prec
+        with_grads=with_grads, prec=prec, ecs=ecs
     )
 
     # P2P over concatenated neighbour-source tables
@@ -386,10 +384,10 @@ def _leaf_all(
 
 
 
-@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec", "use_pallas"))
+@_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec", "use_pallas", "ecs"))
 def _matvec_fused(
     dev, weights, targets, tgt_idx, tgt_mask, tcells, p2p_groups, m2p_groups,
-    *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec, use_pallas=False
+    *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec, use_pallas=False, ecs=1024
 ):
     """Upward + downward + leaf pass as ONE program (one queue entry over
     the host->device link per solver matvec)."""
@@ -399,7 +397,7 @@ def _matvec_fused(
         dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
         p2p_groups, m2p_groups, kparams=kparams, d=d, p=p, n_pad=n_pad,
         p2p_meta=p2p_meta, m2p_meta=m2p_meta, with_grads=False, prec=prec,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, ecs=ecs,
     )
     return vals, mult, local, w_sorted
 
@@ -835,9 +833,13 @@ class FmmTree:
                 # (chunk, T, w_class) kernel matrix so its chunk is bounded
                 # by that; the Pallas path keeps the kernel matrix in VMEM
                 # and is bounded only by the gathered (chunk, w_class)
-                # coordinate/weight slabs.
-                chunk_scan = max(1, (1 << 22) // max(tmax * w_class, 1))
-                chunk_pallas = max(8, (1 << 23) // max(w_class, 1))
+                # coordinate/weight slabs. FmmParams.eval_chunk_size scales
+                # both budgets linearly (1024 = reference default = the
+                # HBM-safe budgets below).
+                ecs = max(int(self.params.eval_chunk_size), 1)
+                chunk_scan = max(1, ((1 << 22) * ecs // 1024) // max(tmax * w_class, 1))
+                chunk_scan = 1 << (int(chunk_scan).bit_length() - 1)
+                chunk_pallas = max(8, ((1 << 23) * ecs // 1024) // max(w_class, 1))
                 chunk_pallas = 1 << (int(chunk_pallas).bit_length() - 1)
                 g = self._hwm_pad(f"{kind}_rows_{w_class}", sel.size)
                 chunk_scan = min(chunk_scan, g)
@@ -918,6 +920,7 @@ class FmmTree:
             with_grads=with_grads,
             prec=prec,
             use_pallas=self._use_pallas,
+            ecs=int(self.params.eval_chunk_size),
         )
 
     def evaluate_device(self, weights_dev, reuse_key, precision: str = "f64"):
@@ -947,6 +950,7 @@ class FmmTree:
             m2p_meta=binned["m2p_meta"],
             prec=precision,
             use_pallas=self._use_pallas,
+            ecs=int(self.params.eval_chunk_size),
         )
         self._multipole, self._local, self._weights_sorted = mult, local, wsorted
         return vals[: binned["ntargets"]]

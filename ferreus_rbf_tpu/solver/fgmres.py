@@ -200,13 +200,18 @@ def fgmres_device(
             z.append(w[:, 0])
             wj = a(w)[:, 0]
 
-            # modified-Gram-Schmidt coefficients in one device matmul; the
-            # projection itself is a second matmul (classical update — for
-            # FGMRES with a strong preconditioner the loss of orthogonality
-            # versus the sequential MGS update is negligible at restart 5)
+            # classical Gram-Schmidt with one re-orthogonalisation pass
+            # (CGS2): batched device matmuls instead of the host path's
+            # sequential MGS updates, with orthogonality loss bounded like
+            # MGS ("twice is enough") — so iteration counts track the host
+            # reference even on ill-conditioned systems (see
+            # tests/test_solver.py::test_device_fgmres_matches_host_mgs_iterations)
             vmat = jnp.stack(v, axis=1)  # (n, j+1)
-            hcol = np.asarray(vmat.T @ wj)
-            wj = wj - vmat @ jnp.asarray(hcol)
+            hcol1 = vmat.T @ wj
+            wj = wj - vmat @ hcol1
+            hcol2 = vmat.T @ wj
+            wj = wj - vmat @ hcol2
+            hcol = np.asarray(hcol1 + hcol2)
             norm = float(jnp.linalg.norm(wj))
             h[: j + 1, j] = hcol
             h[j + 1, j] = norm

@@ -63,6 +63,51 @@ def test_fgmres_with_preconditioner_converges_faster():
     assert counts["precond"] < counts["plain"]
 
 
+def test_device_fgmres_matches_host_mgs_iterations():
+    """SURVEY hard-part #5: the device path's batched CGS2 orthogonalisation
+    must track the host reference's sequential MGS iteration-for-iteration,
+    including on an ill-conditioned system where one-pass classical
+    Gram-Schmidt visibly loses orthogonality."""
+    from ferreus_rbf_tpu.solver.fgmres import fgmres_device
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # condition number 1e8: a unit cluster plus small outlier eigenvalues —
+    # GMRES resolves the outliers in a few iterations, but only if the
+    # Krylov basis stays orthogonal while doing so
+    d = np.concatenate([np.ones(n - 10), np.logspace(-8, -1, 10)])
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = (q * d) @ q.T
+    a = 0.5 * (a + a.T)
+    b = rng.standard_normal((n, 1))
+
+    def count_iters(solver, mv):
+        iters = []
+        from ferreus_rbf_tpu.progress import Progress
+
+        cb = Progress(lambda msg: iters.append(msg))
+        x = solver(
+            mv, b, None,
+            max_outer_iterations=10, max_inner_iterations=25,
+            tolerance=FittingAccuracy(1e-10, FittingAccuracyType.Relative),
+            callback=cb,
+        )
+        return np.asarray(x).reshape(-1, 1), len(iters)
+
+    x_host, it_host = count_iters(fgmres, lambda v: a @ v)
+
+    import jax.numpy as jnp
+
+    a_dev = jnp.asarray(a)
+    x_dev, it_dev = count_iters(fgmres_device, lambda v: a_dev @ v)
+
+    r_host = np.linalg.norm(a @ x_host - b) / np.linalg.norm(b)
+    r_dev = np.linalg.norm(a @ np.asarray(x_dev) - b) / np.linalg.norm(b)
+    assert r_host < 1e-7 and r_dev < 1e-7
+    # identical restart structure: same inner/outer schedule within 1 restart
+    assert abs(it_dev - it_host) <= 5, (it_dev, it_host)
+
+
 def test_stationary_solver_with_exact_preconditioner():
     rng = np.random.default_rng(3)
     n = 40
