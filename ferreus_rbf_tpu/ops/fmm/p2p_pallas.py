@@ -102,30 +102,35 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
     points were duplicated into ~27 neighbour tables); HBM traffic drops to
     one read of each leaf tile per neighbour relation.
 
-    tgt_tiles (R, T, d) f32. Returns (R, T, nrhs) f32.
+    tgt_tiles (R, T, d) f32; nbr_tab (U, R) int32 — TRANSPOSED so the
+    scalar-prefetch table's lane axis is the long row axis (an (R, U) table
+    pads U up to 128 lanes and overflows the 1 MB SMEM at a few thousand
+    rows). Returns (R, T, nrhs) f32.
     """
     from .. import kernels as _k
 
     r, t, d = tgt_tiles.shape
     _, dd, s = src_coords_t.shape
     nrhs = src_w_t.shape[1]
-    u = nbr_tab.shape[1]
+    u = nbr_tab.shape[0]
     phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
     body = functools.partial(_pair_kernel, phi_r2=phi, d=d, nu=u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r, u),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda nbr, i, j: (i, 0, 0), memory_space=_VMEM),
+            # index-map returns must be uniformly i32 (x64 literals fail to
+            # legalize in Mosaic), hence i * 0 instead of 0
+            pl.BlockSpec((1, t, d), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
             pl.BlockSpec(
-                (1, dd, s), lambda nbr, i, j: (nbr[i, j], 0, 0), memory_space=_VMEM
+                (1, dd, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM
             ),
             pl.BlockSpec(
-                (1, nrhs, s), lambda nbr, i, j: (nbr[i, j], 0, 0), memory_space=_VMEM
+                (1, nrhs, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, nrhs), lambda nbr, i, j: (i, 0, 0), memory_space=_VMEM
+            (1, t, nrhs), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM
         ),
     )
     return pl.pallas_call(

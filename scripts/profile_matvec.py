@@ -67,7 +67,8 @@ def main():
     leaf = lambda use_pallas: api._leaf_all(
         dev, binned["targets_pad"], binned["tgt_idx"], binned["tgt_mask"],
         binned["tcells"], local, mult, w_sorted,
-        binned["p2p_groups"], binned["m2p_groups"], kparams=kp, d=3, p=p,
+        binned["p2p_groups"], binned["m2p_groups"], binned["nbr_tab"],
+        kparams=kp, d=3, p=p,
         n_pad=binned["n_pad"], p2p_meta=binned["p2p_meta"],
         m2p_meta=binned["m2p_meta"], with_grads=False, prec=prec,
         use_pallas=use_pallas,

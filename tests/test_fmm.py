@@ -311,8 +311,13 @@ def test_pallas_near_field_matches_scan():
     from ferreus_rbf_tpu.ops.fmm import api as fmm_api
 
     orig = pp.p2p_rows
+    orig_pairs = pp.p2p_leaf_pairs
     pp.p2p_rows = functools.partial(
         jax.jit(orig.__wrapped__, static_argnames=("kparams", "interpret")),
+        interpret=True,
+    )
+    pp.p2p_leaf_pairs = functools.partial(
+        jax.jit(orig_pairs.__wrapped__, static_argnames=("kparams", "interpret")),
         interpret=True,
     )
     try:
@@ -329,6 +334,7 @@ def test_pallas_near_field_matches_scan():
         v_pal = np.asarray(tree.evaluate_device(w, "src", precision="f32"))
     finally:
         pp.p2p_rows = orig
+        pp.p2p_leaf_pairs = orig_pairs
     err = np.max(np.abs(v_pal - v_scan)) / np.max(np.abs(v_scan))
     assert err < 1e-5, err
 
