@@ -53,29 +53,32 @@ def _next_pow2(n) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
-def _chunk_m2l_level(u_stack, vt_stack, tgt, src, nnodes):
-    """Device M2L level entry with the interaction axis split into chunks.
+def _chunk_m2l_level(u_stack, vt_stack, src_tab, level_cells, nnodes):
+    """Device M2L level entry, target-slot layout, chunked over target slots.
 
-    The level einsum gathers (g, m, p^d, r) multipoles; at large N that
-    single materialisation overflows HBM (a 200k-pt p=7 matvec needed 29 GB).
-    tgt/src are reshaped to (nchunk, g, m_chunk) and the downward pass scans
-    over the chunk axis, bounding the transient at g*m_chunk*p^d*r.
+    ``src_tab`` is (g, C): for m2l vector id g and target slot c it holds
+    the SOURCE cell index (or the zero-multipole sentinel) — well-defined
+    because a vector id names a unique relative offset, so each (vid, tgt)
+    pair has at most one source. This shape lets the downward pass reduce
+    the vid axis INSIDE one dot_general (no per-pair intermediate, no
+    non-unique scatter — the r1 profile showed the scatter-add was 11 ms of
+    the 18.6 ms level cost). The slot axis is split into chunks so the
+    gathered (g, C_chunk, p^d, r) multipole transient stays HBM-bounded.
     """
-    g, m_pad = tgt.shape
-    budget = 1 << 26  # elements per chunked gather (~512 MB in f64 at r=1)
-    m_chunk = max(64, budget // max(g * nnodes, 1))
-    m_chunk = 1 << (int(m_chunk).bit_length() - 1)
-    m_chunk = min(m_chunk, m_pad)
-    nchunk = (m_pad + m_chunk - 1) // m_chunk
-    if m_pad % m_chunk:  # m_pad is pow2 and m_chunk <= m_pad, so it divides
-        raise AssertionError((m_pad, m_chunk))
-    tgt_r = tgt.reshape(g, nchunk, m_chunk).transpose(1, 0, 2)
-    src_r = src.reshape(g, nchunk, m_chunk).transpose(1, 0, 2)
+    g, c_pad = src_tab.shape
+    budget = 1 << 26  # elements per chunked gather (~256 MB in f32 at r=1)
+    c_chunk = max(16, budget // max(g * nnodes, 1))
+    c_chunk = 1 << (int(c_chunk).bit_length() - 1)
+    c_chunk = min(c_chunk, c_pad)
+    nchunk = (c_pad + c_chunk - 1) // c_chunk
+    if c_pad % c_chunk:  # c_pad is pow2 and c_chunk <= c_pad, so it divides
+        raise AssertionError((c_pad, c_chunk))
+    src_r = src_tab.reshape(g, nchunk, c_chunk).transpose(1, 0, 2)
     return (
         jnp.asarray(u_stack),
         None if vt_stack is None else jnp.asarray(vt_stack),
-        jnp.asarray(np.ascontiguousarray(tgt_r)),
         jnp.asarray(np.ascontiguousarray(src_r)),
+        jnp.asarray(level_cells),
     )
 
 
@@ -162,31 +165,36 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     kernel = make_kernel(kparams, dtype=ct)
     mult_c = mult.astype(ct)
     local = jnp.zeros((mult_c.shape[0] + 1,) + mult_c.shape[1:], ct)
-    # One batched einsum chain per level, scanned over interaction chunks
+    # One fused contraction per level, scanned over target-slot chunks
     # (memory-bounded; see _chunk_m2l_level). Groups are per m2l *vector id*
     # with the symmetry permutation pre-folded into (U, Vt) at plan time
-    # (see _build_plan) — no runtime permutation gathers.
-    for u_stack, vt_stack, tgt, src in dev["m2l_levels"]:
-        u_c = u_stack.astype(ct)
-        vt_c = None if vt_stack is None else vt_stack.astype(ct)
+    # (see _build_plan) — no runtime permutation gathers. The target-slot
+    # layout reduces the vid axis inside the dot_general, so no per-pair
+    # (g, m, p^d, r) intermediate is written and the only scatter is one
+    # unique-index add of the finished level block.
+    mult_pad = jnp.concatenate(
+        [mult_c, jnp.zeros((1,) + mult_c.shape[1:], ct)], axis=0
+    )
+    for u_stack, vt_stack, src_r, level_cells in dev["m2l_levels"]:
+        u_c = u_stack.astype(ct)  # (g, p^d, k)
+        vt_c = None if vt_stack is None else vt_stack.astype(ct)  # (g, k, p^d)
 
-        def _level_chunk(loc, ts, u_c=u_c, vt_c=vt_c):
-            tgt_c, src_c = ts  # (g, m_chunk)
-            x = mult_c[src_c]  # (g, m_chunk, p^d, r)
-            if vt_c is None:
-                y = jnp.einsum("gpq,gmqr->gmpr", u_c, x)
-            else:
-                y = jnp.einsum("gpk,gmkr->gmpr", u_c,
-                               jnp.einsum("gkq,gmqr->gmkr", vt_c, x))
-            loc = loc.at[tgt_c.reshape(-1)].add(
-                y.reshape((-1,) + y.shape[2:]), mode="drop"
+        def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c):
+            x = mult_pad[src_c]  # (g, c_chunk, p^d|k source dim, r)
+            z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
+            # contract BOTH the vid and rank axes in one dot:
+            # y[p, c, r] = sum_{g,k} U[g,p,k] z[g,c,k,r]
+            y = jax.lax.dot_general(
+                u_c, z, dimension_numbers=(((0, 2), (0, 2)), ((), ()))
             )
-            return loc, None
+            return None, y.transpose(1, 0, 2)  # (c_chunk, p^d, r)
 
-        if tgt.shape[0] == 1:
-            local, _ = _level_chunk(local, (tgt[0], src[0]))
+        if src_r.shape[0] == 1:
+            _, y_all = _level_chunk(None, src_r[0])
         else:
-            local, _ = jax.lax.scan(_level_chunk, local, (tgt, src))
+            _, y_c = jax.lax.scan(_level_chunk, None, src_r)
+            y_all = y_c.reshape((-1,) + y_c.shape[2:])
+        local = local.at[level_cells].add(y_all, mode="drop", unique_indices=True)
 
     local = local[:-1]  # drop the pad-target sentinel row
 
@@ -334,8 +342,8 @@ def _near_field_class(
 @_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas", "ecs"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-    p2p_groups, m2p_groups, nbr_tab=None, *, kparams, d, p, n_pad, p2p_meta, m2p_meta,
-    with_grads, prec="f64", use_pallas=False, ecs=1024,
+    p2p_groups, m2p_groups, nbr_tab, inv_row, inv_slot, *, kparams, d, p, n_pad,
+    p2p_meta, m2p_meta, with_grads, prec="f64", use_pallas=False, ecs=1024,
 ):
     """The whole leaf pass as ONE compiled program.
 
@@ -397,7 +405,7 @@ def _leaf_all(
             grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
     return _unbucket_impl(
-        tgt_idx, tgt_mask, vals_b, grads_b, n_pad=n_pad, d=d, with_grads=with_grads
+        inv_row, inv_slot, vals_b, grads_b, n_pad=n_pad, d=d, with_grads=with_grads
     )
 
 
@@ -405,7 +413,7 @@ def _leaf_all(
 @_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec", "use_pallas", "ecs"))
 def _matvec_fused(
     dev, weights, targets, tgt_idx, tgt_mask, tcells, p2p_groups, m2p_groups,
-    nbr_tab=None, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec,
+    nbr_tab, inv_row, inv_slot, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec,
     use_pallas=False, ecs=1024
 ):
     """Upward + downward + leaf pass as ONE program (one queue entry over
@@ -414,28 +422,25 @@ def _matvec_fused(
     local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
     vals, _ = _leaf_all(
         dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-        p2p_groups, m2p_groups, nbr_tab, kparams=kparams, d=d, p=p, n_pad=n_pad,
-        p2p_meta=p2p_meta, m2p_meta=m2p_meta, with_grads=False, prec=prec,
-        use_pallas=use_pallas, ecs=ecs,
+        p2p_groups, m2p_groups, nbr_tab, inv_row, inv_slot, kparams=kparams,
+        d=d, p=p, n_pad=n_pad, p2p_meta=p2p_meta, m2p_meta=m2p_meta,
+        with_grads=False, prec=prec, use_pallas=use_pallas, ecs=ecs,
     )
     return vals, mult, local, w_sorted
 
 
-def _unbucket_impl(tgt_idx, tgt_mask, vals_b, grads_b, *, n_pad, d, with_grads):
-    # n_pad is the power-of-two padded target count: the true count is
-    # sliced off on the host so distinct batch sizes reuse one program.
-    nrhs = vals_b.shape[-1]
-    flat_idx = jnp.where(tgt_mask, tgt_idx, n_pad).reshape(-1)
-    vals = jnp.zeros((n_pad + 1, nrhs), jnp.float64)
-    vals = vals.at[flat_idx].add(vals_b.reshape(-1, nrhs), mode="drop")
+def _unbucket_impl(inv_row, inv_slot, vals_b, grads_b, *, n_pad, d, with_grads):
+    # Each target index lives in exactly one (row, slot) of the bucket
+    # layout, so un-bucketing is a GATHER through the plan-time inverse
+    # tables — the scatter-add formulation cost 17.5 ms per 100k-pt matvec
+    # on v5e because its shared pad sentinel forced the non-unique-indices
+    # slow path. Pad targets (n..n_pad) read garbage slots; the host slices
+    # them off.
+    vals = vals_b[inv_row, inv_slot]
     if with_grads:
-        grads = jnp.zeros((n_pad + 1, nrhs, d), jnp.float64)
-        grads = grads.at[flat_idx].add(grads_b.reshape(-1, nrhs, d), mode="drop")
-        return vals[:n_pad], grads[:n_pad].reshape(n_pad, -1)
-    return vals[:n_pad], jnp.zeros((0,), jnp.float64)
-
-
-_unbucket = _partial(jax.jit, static_argnames=("n_pad", "d", "with_grads"))(_unbucket_impl)
+        grads = grads_b[inv_row, inv_slot]
+        return vals, grads.reshape(n_pad, -1)
+    return vals, jnp.zeros((0,), jnp.float64)
 
 
 class FmmTree:
@@ -585,11 +590,23 @@ class FmmTree:
                 continue
             vids = sel[:, 2]
             present = np.unique(vids)
-            counts = np.array([int(np.sum(vids == v)) for v in present])
-            m_pad = _next_pow2(int(counts.max()))
             g = len(present)
-            tgt = np.full((g, m_pad), t.num_cells, np.int64)
-            srcg = np.zeros((g, m_pad), np.int64)
+            # target-slot layout: one column per target cell at this level,
+            # one row per vector id; each (vid, tgt) has at most ONE source
+            # (a vid names a relative offset), sentinel = num_cells (the
+            # zero-multipole pad row) elsewhere. See _chunk_m2l_level.
+            level_cells = np.unique(sel[:, 0])
+            c_pad = _next_pow2(level_cells.size)
+            slot_of = np.full(t.num_cells + 1, -1, np.int64)
+            slot_of[level_cells] = np.arange(level_cells.size)
+            # pad slots use DISTINCT out-of-range indices (dropped by the
+            # scatter) so the level add keeps unique_indices=True honest
+            cells_pad = t.num_cells + 1 + np.arange(c_pad)
+            cells_pad[: level_cells.size] = level_cells
+            src_tab = np.full((g, c_pad), t.num_cells, np.int32)
+            vid_row = np.full(int(present.max()) + 1, -1, np.int64)
+            vid_row[present] = np.arange(g)
+            src_tab[vid_row[vids], slot_of[sel[:, 0]]] = sel[:, 1]
             dense = self.level_ops[level][0][1] is None
             rmax = (
                 nnodes
@@ -599,10 +616,6 @@ class FmmTree:
             u_stack = np.zeros((g, nnodes, rmax))
             vt_stack = None if dense else np.zeros((g, rmax, nnodes))
             for gi, v in enumerate(present):
-                m = vids == v
-                cnt = int(np.sum(m))
-                tgt[gi, :cnt] = sel[m, 0]
-                srcg[gi, :cnt] = sel[m, 1]
                 u, vt = self.level_ops[level][pt.ref_lookup[v]]
                 pid = pt.perm_lookup[v]
                 rows = pt.perm_indices[pid]
@@ -619,7 +632,7 @@ class FmmTree:
                     vt2 = np.zeros((vt.shape[0], nnodes))
                     vt2[:, rows] = vt
                     vt_stack[gi, : vt.shape[0]] = vt2
-            self.m2l_levels.append((level, u_stack, vt_stack, tgt, srcg))
+            self.m2l_levels.append((level, u_stack, vt_stack, src_tab, cells_pad))
 
         # --- P2L groups (x list) ------------------------------------------
         xp = t.x_pairs
@@ -878,7 +891,9 @@ class FmmTree:
                 g = self._hwm_pad(f"{kind}_rows_{w_class}", sel.size)
                 chunk_scan = min(chunk_scan, g)
                 chunk_pallas = min(chunk_pallas, g)  # pow2: both divide g
-                rsel = np.full(g, ntl_pad, np.int32)  # out-of-range: dropped
+                # pad slots use DISTINCT out-of-range indices (dropped) so
+                # the class adds keep unique_indices=True honest
+                rsel = (ntl_pad + np.arange(g)).astype(np.int32)
                 rsel[: sel.size] = sel
                 tab = np.zeros((g, w_class), np.int32)
                 mask = np.zeros((g, w_class), bool)
@@ -909,12 +924,22 @@ class FmmTree:
         targets_pad = np.zeros((n_pad, targets.shape[1]))
         targets_pad[:n] = targets - self._world_center  # tree-centred (see _build_device_state)
 
+        # inverse of the (row, slot) bucketing: un-bucketing is a gather
+        # (see _unbucket_impl); pad targets read (0, 0) and are sliced off
+        inv_row = np.zeros(n_pad, np.int32)
+        inv_slot = np.zeros(n_pad, np.int32)
+        rr, ss = np.nonzero(tgt_mask)
+        inv_row[tgt_idx[rr, ss]] = rr
+        inv_slot[tgt_idx[rr, ss]] = ss
+
         binned = {
             "targets_pad": jnp.asarray(targets_pad),
             "tcells": jnp.asarray(tcells_pad),
             "tgt_idx": jnp.asarray(tgt_idx),
             "tgt_mask": jnp.asarray(tgt_mask),
             "nbr_tab": jnp.asarray(np.ascontiguousarray(nbr_tab.T)),
+            "inv_row": jnp.asarray(inv_row),
+            "inv_slot": jnp.asarray(inv_slot),
             "p2p_groups": p2p_groups,
             "p2p_meta": p2p_meta,
             "m2p_groups": m2p_groups,
@@ -957,6 +982,8 @@ class FmmTree:
             binned["p2p_groups"],
             binned["m2p_groups"],
             binned["nbr_tab"],
+            binned["inv_row"],
+            binned["inv_slot"],
             kparams=self.kernel_params,
             d=self.d,
             p=self.p,
@@ -989,6 +1016,8 @@ class FmmTree:
             binned["p2p_groups"],
             binned["m2p_groups"],
             binned["nbr_tab"],
+            binned["inv_row"],
+            binned["inv_slot"],
             kparams=self.kernel_params,
             d=self.d,
             p=self.p,

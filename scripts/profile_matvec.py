@@ -68,6 +68,7 @@ def main():
         dev, binned["targets_pad"], binned["tgt_idx"], binned["tgt_mask"],
         binned["tcells"], local, mult, w_sorted,
         binned["p2p_groups"], binned["m2p_groups"], binned["nbr_tab"],
+        binned["inv_row"], binned["inv_slot"],
         kparams=kp, d=3, p=p,
         n_pad=binned["n_pad"], p2p_meta=binned["p2p_meta"],
         m2p_meta=binned["m2p_meta"], with_grads=False, prec=prec,
