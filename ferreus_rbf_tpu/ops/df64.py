@@ -1,0 +1,300 @@
+"""Double-float (df64) arithmetic and exact split matmuls for TPU.
+
+TPUs have no native f64: XLA emulates each f64 dot as ~19 f32 passes
+(measured: the 100k-pt M2L needs 19.6 GB of f32[..., 19] temporaries and
+OOMs a 16 GB chip). This module provides the TPU-native alternative used by
+the framework's "f64-grade" evaluation tier:
+
+* **df64 scalars**: a value is an (hi, lo) pair of f32 with
+  ``|lo| <= ulp(hi)/2``, giving ~49 significand bits. Elementwise ops are
+  error-free-transformation chains (Dekker/Knuth; no FMA dependency, the
+  TPU VPU does not expose one through Pallas) and run on the VPU at f32
+  rates, inside or outside Pallas kernels.
+* **Exact split dots (Ozaki-style)**: each operand is sliced into ``nsl``
+  bf16 planes aligned to a power-of-two grid shared along the contraction
+  axis. bf16 significands are 8 bits, so every sliced product has <= 16
+  significant bits and an f32 MXU accumulation of up to 256 terms is EXACT
+  (16 + 8 carry bits = 24 = f32 significand). Summing the O(nsl^2) partial
+  dots in df64 reconstructs the f64-grade result from plain bf16 MXU
+  matmuls — ~21 native passes for ~1e-13 worst-case relative error instead
+  of XLA's 19-pass f32 emulation per dot.
+
+Replaces the arithmetic (not the algorithms) of the reference's f64 paths:
+``ferreus_bbfmm/src/bbfmm.rs`` passes and ``rbf_kernels.rs`` evaluations
+are all plain f64 on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
+
+
+# ---------------------------------------------------------------- EFT cores
+def two_sum(a, b):
+    """Error-free a + b = s + e (Knuth; 6 flops, no magnitude assumption)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """Error-free a + b = s + e assuming |a| >= |b| (3 flops)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _dekker_split(a):
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free a * b = p + e via Dekker splitting (no FMA)."""
+    p = a * b
+    ah, al = _dekker_split(a)
+    bh, bl = _dekker_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+# ------------------------------------------------------------- df64 algebra
+def from_f64(x):
+    """f64 array -> (hi, lo) f32 pair (XLA side only; Pallas has no f64)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def to_f64(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def add(ahi, alo, bhi, blo):
+    s, e = two_sum(ahi, bhi)
+    e = e + (alo + blo)
+    return quick_two_sum(s, e)
+
+
+def neg(hi, lo):
+    return -hi, -lo
+
+
+def sub(ahi, alo, bhi, blo):
+    return add(ahi, alo, -bhi, -blo)
+
+
+def mul(ahi, alo, bhi, blo):
+    p, e = two_prod(ahi, bhi)
+    e = e + (ahi * blo + alo * bhi)
+    return quick_two_sum(p, e)
+
+
+def mul_f32(ahi, alo, b):
+    """df64 * plain f32."""
+    p, e = two_prod(ahi, b)
+    e = e + alo * b
+    return quick_two_sum(p, e)
+
+
+def sqr(hi, lo):
+    p, e = two_prod(hi, hi)
+    e = e + 2.0 * (hi * lo)
+    return quick_two_sum(p, e)
+
+
+def sqrt(hi, lo):
+    """df64 sqrt: f32 seed + one error-corrected Newton step (Karp).
+
+    Exact-zero and subnormal-small inputs return 0 cleanly; negative
+    rounding dust is clamped.
+    """
+    h = jnp.maximum(hi, 0.0)
+    y = jnp.sqrt(h)
+    y2h, y2l = two_prod(y, y)
+    rh, _ = add(h, lo, -y2h, -y2l)
+    denom = jnp.maximum(2.0 * y, jnp.float32(np.finfo(np.float32).tiny))
+    corr = jnp.where(y > 0, rh / denom, 0.0)
+    return quick_two_sum(y, corr)
+
+
+def recip(hi, lo):
+    """df64 reciprocal: f32 seed + one df64 Newton step."""
+    y = 1.0 / hi
+    # e = 1 - x*y (df64)
+    pyh, pyl = mul_f32(hi, lo, y)
+    eh, el = add(jnp.float32(1.0), jnp.float32(0.0), -pyh, -pyl)
+    # y' = y + y*e
+    ch, cl = mul_f32(eh, el, y)
+    return add(ch, cl, y, jnp.zeros_like(y))
+
+
+def div(ahi, alo, bhi, blo):
+    rh, rl = recip(bhi, blo)
+    return mul(ahi, alo, rh, rl)
+
+
+_LN2_HI = np.float32(0.6931471805599453)
+_LN2_LO = np.float32(0.6931471805599453 - np.float64(np.float32(0.6931471805599453)))
+_SQRT_HALF = np.float32(0.7071067811865476)
+# atanh series 2*(t + t^3/3 + t^5/5 + ...) coefficients 1/(2k+1) as f32 pairs
+_LOG_COEFS = [
+    (np.float32(1.0 / k), np.float32(1.0 / k - np.float64(np.float32(1.0 / k))))
+    for k in range(21, 0, -2)
+]
+
+
+def log(hi, lo):
+    """df64 natural log via exponent extraction + atanh series.
+
+    x = 2^e * m with m in [1/sqrt2, sqrt2); ln x = e ln2 + 2 atanh(t) with
+    t = (m-1)/(m+1), |t| <= 0.1716, so 10 series terms reach ~2^-49. A
+    Newton polish on an f32 log seed cannot work here: the f32 exp's
+    rounding is a ~6e-8 bias the iteration inherits. Used by the
+    thin-plate-spline kernel (phi = r^2 ln r).
+    """
+    h = jnp.maximum(hi, np.finfo(np.float32).tiny)
+    bits = jax.lax.bitcast_convert_type(h, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 126  # mantissa in [0.5, 1)
+    m_h = jax.lax.bitcast_convert_type(
+        (bits & np.int32(-2139095041)) | np.int32(126 << 23), jnp.float32
+    )
+    # exact power-of-two rescale of the low word
+    scale = jax.lax.bitcast_convert_type(
+        jnp.clip(127 - e, 1, 254).astype(jnp.int32) << 23, jnp.float32
+    )
+    m_l = lo * scale
+    # keep m in [1/sqrt2, sqrt2)
+    small = m_h < _SQRT_HALF
+    m_h = jnp.where(small, m_h * 2.0, m_h)
+    m_l = jnp.where(small, m_l * 2.0, m_l)
+    e = jnp.where(small, e - 1, e).astype(jnp.float32)
+
+    num = add(m_h, m_l, jnp.float32(-1.0), jnp.float32(0.0))
+    den = add(m_h, m_l, jnp.float32(1.0), jnp.float32(0.0))
+    th, tl = div(*num, *den)
+    t2h, t2l = sqr(th, tl)
+    sh = jnp.full_like(th, _LOG_COEFS[0][0])
+    sl = jnp.full_like(th, _LOG_COEFS[0][1])
+    for ch, cl in _LOG_COEFS[1:]:
+        sh, sl = mul(sh, sl, t2h, t2l)
+        sh, sl = add(sh, sl, jnp.full_like(th, ch), jnp.full_like(th, cl))
+    lnm_h, lnm_l = mul(th, tl, sh, sl)
+    lnm_h, lnm_l = lnm_h * 2.0, lnm_l * 2.0  # exact
+    e2h, e2l = mul_f32(jnp.full_like(th, _LN2_HI), jnp.full_like(th, _LN2_LO), e)
+    return add(e2h, e2l, lnm_h, lnm_l)
+
+
+# ------------------------------------------------- exact bf16 slice matmuls
+def _pow2_ceil_f32(m):
+    """Smallest power of two >= m (elementwise, f32 bit tricks; m > 0)."""
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    exp = (bits >> 23) & 0xFF
+    frac = bits & 0x7FFFFF
+    exp = jnp.where(frac != 0, exp + 1, exp)
+    return jax.lax.bitcast_convert_type((exp << 23), jnp.float32)
+
+
+def slice_planes(hi, lo, reduce_axes, nsl):
+    """Split a df64 array into ``nsl`` bf16 planes, exactly representable on
+    a power-of-two grid shared along ``reduce_axes``.
+
+    Returns (planes, sigma0) where planes is an (nsl, ...) bf16 array and
+    sum_k planes[k] reproduces hi+lo to ~8*nsl significant bits relative to
+    the max over ``reduce_axes``. Plane k holds 8-bit chunks aligned at
+    sigma0 * 2^(-8k), so any product planes_a[i] * planes_b[j] of two such
+    slicings is exact in f32 and accumulates exactly over <= 256 terms.
+    """
+    m = jnp.max(jnp.abs(hi), axis=reduce_axes, keepdims=True)
+    sigma0 = _pow2_ceil_f32(jnp.maximum(m, np.finfo(np.float32).tiny))
+    planes = []
+    # extraction constant: adding C = 1.5 * sigma * 2^15 rounds to the
+    # sigma*2^-8 grid (bf16 keeps 8 significand bits)
+    resid_h = hi
+    resid_l = lo
+    sigma = sigma0
+    for k in range(nsl):
+        c = sigma * jnp.float32(1.5 * (1 << 15))
+        s = (resid_h + c) - c
+        resid_h = resid_h - s  # exact: s is resid_h rounded to a coarser grid
+        if k == 2:
+            # hi is exhausted to ~2^-24 of sigma0 here: fold in lo once
+            resid_h, resid_l = two_sum(resid_h, resid_l)
+        planes.append(s.astype(jnp.bfloat16))
+        sigma = sigma * jnp.float32(1.0 / 256.0)
+    return jnp.stack(planes), sigma0
+
+
+def ozaki_dot(a_hi, a_lo, b_hi, b_lo, dimension_numbers, nsl=6, keep=None):
+    """f64-grade dot_general from bf16 MXU passes.
+
+    a, b arrive as df64 pairs; ``dimension_numbers`` follows
+    ``jax.lax.dot_general``. Slices with grids shared along each operand's
+    contraction axes, runs the O(nsl^2/2) bf16 dots whose slice orders sum
+    below ``keep`` (default nsl), and reconstructs the result in df64.
+    Returns an (hi, lo) f32 pair.
+    """
+    (ac, bc), (ab, bb) = dimension_numbers
+    a_planes, _ = slice_planes(a_hi, a_lo, tuple(ac), nsl)
+    b_planes, _ = slice_planes(b_hi, b_lo, tuple(bc), nsl)
+    keep = nsl if keep is None else keep
+    # shift operand dims by 1 for the leading plane axis
+    dn = (
+        (tuple(x + 1 for x in ac), tuple(x + 1 for x in bc)),
+        (tuple(x + 1 for x in ab), tuple(x + 1 for x in bb)),
+    )
+    out_h = None
+    out_l = None
+    for i in range(min(nsl, keep)):
+        for j in range(keep - i if keep - i <= nsl else nsl):
+            part = jax.lax.dot_general(
+                a_planes[i : i + 1],
+                b_planes[j : j + 1],
+                dimension_numbers=(
+                    (dn[0][0], dn[0][1]),
+                    ((0,) + dn[1][0], (0,) + dn[1][1]),
+                ),
+                preferred_element_type=jnp.float32,
+            )[0]
+            if out_h is None:
+                out_h, out_l = part, jnp.zeros_like(part)
+            else:
+                out_h, out_l = add(out_h, out_l, part, jnp.zeros_like(part))
+    return out_h, out_l
+
+
+def ozaki_einsum(spec, a64, b64, nsl=6, keep=None):
+    """f64-in/f64-out convenience wrapper: einsum via ozaki_dot.
+
+    Only specs expressible as a single dot_general are supported (no
+    diagonal/repeated indices within one operand).
+    """
+    import jax.numpy as _jnp
+
+    # build dimension_numbers from the einsum spec
+    lhs, rhs = spec.split("->")[0].split(",")
+    out = spec.split("->")[1]
+    contract = [c for c in lhs if c in rhs and c not in out]
+    batch = [c for c in lhs if c in rhs and c in out]
+    ac = tuple(lhs.index(c) for c in contract)
+    bc = tuple(rhs.index(c) for c in contract)
+    ab = tuple(lhs.index(c) for c in batch)
+    bb = tuple(rhs.index(c) for c in batch)
+    a_hi, a_lo = from_f64(a64)
+    b_hi, b_lo = from_f64(b64)
+    oh, ol = ozaki_dot(a_hi, a_lo, b_hi, b_lo, ((ac, bc), (ab, bb)), nsl=nsl, keep=keep)
+    # dot_general output order: batch dims, then lhs free, then rhs free
+    lhs_free = [c for c in lhs if c not in contract and c not in batch]
+    rhs_free = [c for c in rhs if c not in contract and c not in batch]
+    natural = "".join(batch) + "".join(lhs_free) + "".join(rhs_free)
+    res = to_f64(oh, ol)
+    if natural != out:
+        res = _jnp.einsum(f"{natural}->{out}", res)
+    return res

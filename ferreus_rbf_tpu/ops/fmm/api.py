@@ -66,7 +66,11 @@ def _chunk_m2l_level(u_stack, vt_stack, src_tab, level_cells, nnodes):
     gathered (g, C_chunk, p^d, r) multipole transient stays HBM-bounded.
     """
     g, c_pad = src_tab.shape
-    budget = 1 << 26  # elements per chunked gather (~256 MB in f32 at r=1)
+    # elements per chunked gather. Sized for the WORST precision mode: an
+    # f64 dot on TPU lowers to 19 f32 split passes (observed f32[..., 19]
+    # temporaries OOMing HBM at 100k pts), so the f64-mode transient is
+    # ~150 bytes/element at r=1.
+    budget = 1 << 23
     c_chunk = max(16, budget // max(g * nnodes, 1))
     c_chunk = 1 << (int(c_chunk).bit_length() - 1)
     c_chunk = min(c_chunk, c_pad)
@@ -495,7 +499,7 @@ class FmmTree:
         self._target_cache = {}
         self._hwm = {}
         # fixed target-bucket width (leaves with more targets span rows)
-        self._tmax = min(64, _next_pow2(max(self.smax, 8)))
+        self._tmax = min(128, _next_pow2(max(self.smax, 8)))
         self._use_pallas = _pallas_default()
 
     # ------------------------------------------------------------ operators

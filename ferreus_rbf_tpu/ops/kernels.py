@@ -319,6 +319,100 @@ def _inverse_power(xp, p: int) -> Kernel:
     return Kernel(phi_r2, grad, xp, homogeneity=-float(p))
 
 
+# --------------------------------------------------------------- df64 phis
+# Double-float (two-f32) kernel evaluations for the TPU f64-grade tier: the
+# VPU has no f64 pipe, so the Pallas near field and the split-matmul passes
+# evaluate phi as (hi, lo) f32 pairs (~49 bits) built from ops/df64.py
+# error-free transformations. Same formulas as the f64 closures above
+# (``rbf_kernels.rs``); branch selection compares the hi word only — the
+# spheroidal near/far pieces are calibrated continuous at the inflexion
+# point, so a boundary-side flip within f32 rounding is harmless.
+
+
+def _df64_c(x):
+    hi = np.float32(x)
+    return hi, np.float32(np.float64(x) - np.float64(hi))
+
+
+def make_phi_df64(params: KernelParams):
+    """phi as a df64 closure: (r2_hi, r2_lo) f32 -> (phi_hi, phi_lo) f32."""
+    from . import df64 as dd
+
+    kt = params.kernel_type
+    eps32 = np.float32(_EPS)
+
+    if kt == KernelType.LinearRbf:
+
+        def phi(h, l):
+            sh, sl = dd.sqrt(h, l)
+            return -sh, -sl
+
+    elif kt == KernelType.CubicRbf:
+
+        def phi(h, l):
+            sh, sl = dd.sqrt(h, l)
+            return dd.mul(h, l, sh, sl)
+
+    elif kt == KernelType.ThinPlateSplineRbf:
+
+        def phi(h, l):
+            mask = h > eps32
+            hs = jnp.where(mask, h, jnp.float32(1.0))
+            ls = jnp.where(mask, l, jnp.float32(0.0))
+            gh, gl = dd.log(hs, ls)
+            vh, vl = dd.mul(hs, ls, gh * 0.5, gl * 0.5)
+            return jnp.where(mask, vh, 0.0), jnp.where(mask, vl, 0.0)
+
+    elif kt in _SPHEROIDAL_ORDER:
+        order = _SPHEROIDAL_ORDER[kt]
+        c = SPHEROIDAL_CONSTANTS[order]
+        pw = _SPHEROIDAL_POW[order]
+        s = c.range_scaling / params.base_range
+        s2h, s2l = _df64_c(s * s)
+        ip2 = np.float32(c.inflexion_point * c.inflexion_point)
+        nsh, nsl_ = _df64_c(params.total_sill * c.linear_slope * s)
+        sillh, silll = _df64_c(params.total_sill)
+        fch, fcl = _df64_c(params.total_sill * c.inv_y_intercept)
+
+        def phi(h, l):
+            rh, rl = dd.sqrt(h, l)
+            nh, nl = dd.mul(rh, rl, jnp.full_like(h, nsh), jnp.full_like(h, nsl_))
+            nh, nl = dd.add(jnp.full_like(h, sillh), jnp.full_like(h, silll), -nh, -nl)
+            srh, srl = dd.mul(h, l, jnp.full_like(h, s2h), jnp.full_like(h, s2l))
+            th, tl = dd.add(srh, srl, jnp.float32(1.0), jnp.float32(0.0))
+            ph, pl = th, tl
+            for _ in range(pw - 1):
+                ph, pl = dd.mul(ph, pl, th, tl)
+            qh, ql = dd.sqrt(th, tl)
+            dh, dl = dd.mul(ph, pl, qh, ql)
+            fh, fl = dd.recip(dh, dl)
+            fh, fl = dd.mul(fh, fl, jnp.full_like(h, fch), jnp.full_like(h, fcl))
+            near = srh <= ip2
+            return jnp.where(near, nh, fh), jnp.where(near, nl, fl)
+
+    elif kt in (KernelType.Laplacian, KernelType.OneOverR2, KernelType.OneOverR4):
+        p = {KernelType.Laplacian: 1, KernelType.OneOverR2: 2, KernelType.OneOverR4: 4}[kt]
+
+        def phi(h, l):
+            mask = h > eps32
+            hs = jnp.where(mask, h, jnp.float32(1.0))
+            ls = jnp.where(mask, l, jnp.float32(0.0))
+            if p == 1:
+                sh, sl = dd.sqrt(hs, ls)
+                vh, vl = dd.recip(sh, sl)
+            elif p == 2:
+                vh, vl = dd.recip(hs, ls)
+            else:
+                vh, vl = dd.recip(hs, ls)
+                vh, vl = dd.sqr(vh, vl)
+            return jnp.where(mask, vh, 0.0), jnp.where(mask, vl, 0.0)
+
+    else:  # pragma: no cover
+        raise ValueError(f"Unknown kernel type {kt}")
+
+    return phi
+
+
 def make_kernel(params: KernelParams, xp=jnp, dtype=None) -> Kernel:
     """KernelParams -> concrete kernel (mirrors ``KernelFromParams``).
 
