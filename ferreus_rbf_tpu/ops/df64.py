@@ -166,10 +166,12 @@ def log(hi, lo):
     m_h = jax.lax.bitcast_convert_type(
         (bits & np.int32(-2139095041)) | np.int32(126 << 23), jnp.float32
     )
-    # exact power-of-two rescale of the low word
-    scale = jax.lax.bitcast_convert_type(
-        jnp.clip(127 - e, 1, 254).astype(jnp.int32) << 23, jnp.float32
+    # exact power-of-two rescale of the low word (jnp.clip does not trace
+    # inside Pallas kernels — use lax.max/min directly)
+    e_field = jax.lax.min(
+        jax.lax.max((127 - e).astype(jnp.int32), jnp.int32(1)), jnp.int32(254)
     )
+    scale = jax.lax.bitcast_convert_type(e_field << 23, jnp.float32)
     m_l = lo * scale
     # keep m in [1/sqrt2, sqrt2)
     small = m_h < _SQRT_HALF
@@ -232,69 +234,93 @@ def slice_planes(hi, lo, reduce_axes, nsl):
     return jnp.stack(planes), sigma0
 
 
-def ozaki_dot(a_hi, a_lo, b_hi, b_lo, dimension_numbers, nsl=6, keep=None):
-    """f64-grade dot_general from bf16 MXU passes.
+_MAX_ACCUM = 256  # 2^(24 - 2*8): the exact-f32-accumulation bound for
+# products of 8-bit (bf16) slices
 
-    a, b arrive as df64 pairs; ``dimension_numbers`` follows
-    ``jax.lax.dot_general``. Slices with grids shared along each operand's
-    contraction axes, runs the O(nsl^2/2) bf16 dots whose slice orders sum
-    below ``keep`` (default nsl), and reconstructs the result in df64.
-    Returns an (hi, lo) f32 pair.
+
+def _canon(x, contract, batch):
+    """Transpose/reshape to (B, M, L): batch, free, contraction flattened."""
+    free = [i for i in range(x.ndim) if i not in contract and i not in batch]
+    perm = list(batch) + free + list(contract)
+    xt = jnp.transpose(x, perm)
+    bsh = [x.shape[i] for i in batch]
+    fsh = [x.shape[i] for i in free]
+    csh = [x.shape[i] for i in contract]
+    B = int(np.prod(bsh)) if bsh else 1
+    M = int(np.prod(fsh)) if fsh else 1
+    L = int(np.prod(csh)) if csh else 1
+    return xt.reshape(B, M, L), fsh
+
+
+def ozaki_dot(a64, b64, dimension_numbers, nsl=6, keep=None):
+    """f64-grade dot_general from native bf16 MXU passes. f64 in / f64 out.
+
+    Operands are canonicalised to (B, M, L) x (B, N, L), the contraction
+    axis is chunked to <= 256 (the exact-accumulation bound for products of
+    8-bit slices in f32), each slice-pair dot lands exactly in f32, and
+    partials accumulate in an f64 output tensor (output-sized, so the f64
+    emulation cost is negligible). Returns (B, M, N)-shaped f64 restored to
+    dot_general's natural output order by the caller.
     """
     (ac, bc), (ab, bb) = dimension_numbers
-    a_planes, _ = slice_planes(a_hi, a_lo, tuple(ac), nsl)
-    b_planes, _ = slice_planes(b_hi, b_lo, tuple(bc), nsl)
     keep = nsl if keep is None else keep
-    # shift operand dims by 1 for the leading plane axis
-    dn = (
-        (tuple(x + 1 for x in ac), tuple(x + 1 for x in bc)),
-        (tuple(x + 1 for x in ab), tuple(x + 1 for x in bb)),
-    )
-    out_h = None
-    out_l = None
+    a, a_free = _canon(a64, tuple(ac), tuple(ab))
+    b, b_free = _canon(b64, tuple(bc), tuple(bb))
+    B, M, L = a.shape
+    N = b.shape[1]
+    g = -(-L // _MAX_ACCUM)
+    lc = -(-L // g)  # per-chunk contraction length <= 256
+    if g * lc != L:
+        pad = g * lc - L
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, pad)))
+    a = a.reshape(B, M, g, lc)
+    b = b.reshape(B, N, g, lc)
+
+    ah, al = from_f64(a)
+    bh, bl = from_f64(b)
+    a_planes, _ = slice_planes(ah, al, (3,), nsl)  # (nsl, B, M, g, lc)
+    b_planes, _ = slice_planes(bh, bl, (3,), nsl)
+
+    dn = (((3,), (3,)), ((1, 2), (1, 2)))  # batch (B, g), contract lc
+    out = None
     for i in range(min(nsl, keep)):
-        for j in range(keep - i if keep - i <= nsl else nsl):
+        for j in range(min(nsl, keep - i)):
             part = jax.lax.dot_general(
-                a_planes[i : i + 1],
-                b_planes[j : j + 1],
-                dimension_numbers=(
-                    (dn[0][0], dn[0][1]),
-                    ((0,) + dn[1][0], (0,) + dn[1][1]),
-                ),
+                a_planes[i].transpose(0, 2, 1, 3),  # (B, g, M, lc)
+                b_planes[j].transpose(0, 2, 1, 3),  # (B, g, N, lc)
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
-            )[0]
-            if out_h is None:
-                out_h, out_l = part, jnp.zeros_like(part)
-            else:
-                out_h, out_l = add(out_h, out_l, part, jnp.zeros_like(part))
-    return out_h, out_l
+                precision=jax.lax.Precision.DEFAULT,
+            ).astype(jnp.float64)  # (B, g, M, N), each exact in f32
+            out = part if out is None else out + part
+    out = out.sum(axis=1)  # exact: f64 accumulation of exact f32 partials
+    return out, a_free, b_free
 
 
 def ozaki_einsum(spec, a64, b64, nsl=6, keep=None):
-    """f64-in/f64-out convenience wrapper: einsum via ozaki_dot.
+    """f64-in/f64-out einsum with f64-grade accuracy via ozaki_dot.
 
     Only specs expressible as a single dot_general are supported (no
     diagonal/repeated indices within one operand).
     """
-    import jax.numpy as _jnp
-
-    # build dimension_numbers from the einsum spec
     lhs, rhs = spec.split("->")[0].split(",")
-    out = spec.split("->")[1]
-    contract = [c for c in lhs if c in rhs and c not in out]
-    batch = [c for c in lhs if c in rhs and c in out]
+    out_spec = spec.split("->")[1]
+    contract = [c for c in lhs if c in rhs and c not in out_spec]
+    batch = [c for c in lhs if c in rhs and c in out_spec]
     ac = tuple(lhs.index(c) for c in contract)
     bc = tuple(rhs.index(c) for c in contract)
     ab = tuple(lhs.index(c) for c in batch)
     bb = tuple(rhs.index(c) for c in batch)
-    a_hi, a_lo = from_f64(a64)
-    b_hi, b_lo = from_f64(b64)
-    oh, ol = ozaki_dot(a_hi, a_lo, b_hi, b_lo, ((ac, bc), (ab, bb)), nsl=nsl, keep=keep)
-    # dot_general output order: batch dims, then lhs free, then rhs free
+    res, _, _ = ozaki_dot(a64, b64, ((ac, bc), (ab, bb)), nsl=nsl, keep=keep)
+    # res is (B, M, N); restore batch/free shapes then the requested order
     lhs_free = [c for c in lhs if c not in contract and c not in batch]
     rhs_free = [c for c in rhs if c not in contract and c not in batch]
+    bsh = [a64.shape[lhs.index(c)] for c in batch]
+    fsh = [a64.shape[lhs.index(c)] for c in lhs_free]
+    nsh = [b64.shape[rhs.index(c)] for c in rhs_free]
+    res = res.reshape(tuple(bsh) + tuple(fsh) + tuple(nsh))
     natural = "".join(batch) + "".join(lhs_free) + "".join(rhs_free)
-    res = to_f64(oh, ol)
-    if natural != out:
-        res = _jnp.einsum(f"{natural}->{out}", res)
+    if natural != out_spec:
+        res = jnp.einsum(f"{natural}->{out_spec}", res)
     return res

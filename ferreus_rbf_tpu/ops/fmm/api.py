@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ...config import FmmCompressionType, FmmParams
 from ..kernels import Kernel, KernelParams, make_kernel
+from .. import df64 as df64_mod
 from . import cheb, m2l, p2p_pallas, tree as tree_mod
 from .tree import Octree, PointOutsideTreeError, calculate_tree_center_and_radius
 
@@ -117,13 +118,16 @@ def _upward(dev, weights, *, prec="f64"):
     """weights (N, nrhs), original point order -> (multipole, w_sorted).
 
     ``prec="f32"`` runs P2M/M2M in float32 (mixed-precision inner matvec);
-    the multipole expansion is upcast on return so downstream code always
-    sees f64.
+    ``prec="df64"`` keeps f64 weight generation but runs the contractions
+    as exact bf16 split dots (ozaki_einsum) — f64-grade results without
+    XLA's 19-pass f64 dot emulation. The multipole expansion is upcast on
+    return so downstream code always sees f64.
 
     P2M anterpolation weights are computed ON THE FLY per leaf chunk (a
     precomputed (nsl, smax, p^d) table costs 7.8 GB at 1M points) — the
     Chebyshev recurrences are a tiny fraction of the contraction cost.
     """
+    df = prec == "df64"
     ct = jnp.float32 if prec == "f32" else jnp.float64
     w_sorted = weights[dev["point_order"]]
     ncells = dev["cell_centers"].shape[0]
@@ -140,8 +144,17 @@ def _upward(dev, weights, *, prec="f64"):
         w_t, _ = cheb.anterpolation_weights(
             pts_c[idx], ctr.astype(ct), ln.astype(ct), nodes_t, d, xp=jnp
         )
+        # Mask pad SLOTS on the weight side too: their garbage points sit
+        # far outside the cell and the Chebyshev extrapolation explodes
+        # (observed 1.7e11) — harmless against zero wb in exact arithmetic,
+        # but it poisons the df64 split-dot's per-row scaling (the slot
+        # axis is the contraction axis) and costs ~38 bits of resolution.
+        w_t = jnp.where(msk[..., None], w_t, ct(0.0))
         wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
-        contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
+        if df:
+            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb)
+        else:
+            contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
         return mult_acc.at[cells].add(contrib, mode="drop"), None
 
     if idx_r.shape[0] == 1:
@@ -153,7 +166,11 @@ def _upward(dev, weights, *, prec="f64"):
     m2m_c = dev["m2m_ops"].astype(ct)
     for per_octant in dev["m2m_groups"]:
         for o, (ch, pa) in enumerate(per_octant):
-            mult = mult.at[pa].add(jnp.einsum("pq,cqr->cpr", m2m_c[o], mult[ch]))
+            if df:
+                contrib = df64_mod.ozaki_einsum("pq,cqr->cpr", m2m_c[o], mult[ch])
+            else:
+                contrib = jnp.einsum("pq,cqr->cpr", m2m_c[o], mult[ch])
+            mult = mult.at[pa].add(contrib)
     return mult.astype(jnp.float64), w_sorted
 
 
@@ -162,9 +179,11 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     """Full-tree downward pass: M2L + P2L, then L2L top-down.
 
     ``prec="f32"`` runs the M2L/P2L/L2L matmuls in float32 (the
-    mixed-precision solver's inner-iteration mode); the result is upcast at
-    the end so downstream code always sees f64.
+    mixed-precision solver's inner-iteration mode); ``prec="df64"`` runs
+    them as exact bf16 split dots (f64-grade, no 19-pass f64 emulation).
+    The result is upcast at the end so downstream code always sees f64.
     """
+    df = prec == "df64"
     ct = jnp.float32 if prec == "f32" else jnp.float64
     kernel = make_kernel(kparams, dtype=ct)
     mult_c = mult.astype(ct)
@@ -185,6 +204,9 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
 
         def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c):
             x = mult_pad[src_c]  # (g, c_chunk, p^d|k source dim, r)
+            if df:
+                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x)
+                return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z)
             z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
             # contract BOTH the vid and rank axes in one dot:
             # y[p, c, r] = sum_{g,k} U[g,p,k] z[g,c,k,r]
@@ -216,7 +238,11 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
             spts = dev["pts_sorted"][sidx]
             k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), ct(0.0))
             wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
-            return loc.at[tgt].add(jnp.einsum("mps,msr->mpr", k, wvals), mode="drop"), None
+            if df:
+                y = df64_mod.ozaki_einsum("mps,msr->mpr", k, wvals)
+            else:
+                y = jnp.einsum("mps,msr->mpr", k, wvals)
+            return loc.at[tgt].add(y, mode="drop"), None
 
         if tgt_r.shape[0] == 1:
             local, _ = p2l_chunk(local, tuple(a[0] for a in p2l))
@@ -226,7 +252,11 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
     m2m_c = dev["m2m_ops"].astype(ct)
     for per_octant in dev["l2l_groups"]:
         for o, (ch, pa) in enumerate(per_octant):
-            local = local.at[ch].add(jnp.einsum("pq,cpr->cqr", m2m_c[o], local[pa]))
+            if df:
+                contrib = df64_mod.ozaki_einsum("pq,cpr->cqr", m2m_c[o], local[pa])
+            else:
+                contrib = jnp.einsum("pq,cpr->cqr", m2m_c[o], local[pa])
+            local = local.at[ch].add(contrib)
     return local.astype(jnp.float64)
 
 
@@ -235,6 +265,7 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
     transient is (chunk, T, p^d), not (all rows, T, p^d) — the full table
     is ~4 GB at 1M targets with p=7. ``ecs`` (FmmParams.eval_chunk_size)
     linearly scales the transient budget; 1024 is the reference default."""
+    df = prec == "df64" and not with_grads
     ct = jnp.float32 if prec == "f32" else jnp.float64
     nodes_t = dev["nodes_t"].astype(ct)
     tpts = targets[tgt_idx]
@@ -253,7 +284,10 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
         w_t, dw_t = cheb.anterpolation_weights(
             tp.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
         )
-        vals = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
+        if df:
+            vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc)
+        else:
+            vals = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
         if with_grads:
             grads = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
         else:
@@ -363,9 +397,11 @@ def _leaf_all(
     """
     ct = jnp.float32 if prec == "f32" else jnp.float64
     kernel = make_kernel(kparams, dtype=ct)
-    # The fused Pallas near-field kernel covers the f32 no-gradient path
-    # (the solver's inner matvec); everything else stays on the XLA scan.
+    # The fused Pallas near-field kernels cover the no-gradient paths
+    # ("f32" = the solver's inner matvec; "df64" = the f64-grade tier);
+    # gradients and CPU backends stay on the XLA scan.
     pallas_nf = use_pallas and prec == "f32" and not with_grads
+    pallas_df = use_pallas and prec == "df64" and not with_grads
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p,
         with_grads=with_grads, prec=prec, ecs=ecs
@@ -384,6 +420,27 @@ def _leaf_all(
             kparams=kparams,
         )
         vals_b = vals_b + vals.astype(jnp.float64)
+    elif pallas_df and nbr_tab is not None:
+        w_tiles64 = jnp.where(
+            dev["src_bucket_mask"][..., None],
+            w_sorted[dev["src_bucket_idx"]],
+            0.0,
+        ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
+        # Mosaic cannot lower the in-kernel dots to a 1-lane output
+        # ("only constant accumulators supported" at nrhs=1): pad the RHS
+        # axis to a multiple of 8 with zero columns and slice after.
+        nrhs_true = w_tiles64.shape[1]
+        nrhs_pad = -(-nrhs_true // 8) * 8
+        if nrhs_pad != nrhs_true:
+            w_tiles64 = jnp.pad(w_tiles64, ((0, 0), (0, nrhs_pad - nrhs_true), (0, 0)))
+        planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
+        w_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nsl+1, 6, nrhs, S)
+        th, tl = df64_mod.from_f64(tpts)
+        oh, ol = p2p_pallas.p2p_leaf_pairs_df64(
+            th, tl, dev["src_tiles"], dev["src_tiles_lo"], w_planes, nbr_tab,
+            kparams=kparams,
+        )
+        vals_b = vals_b + df64_mod.to_f64(oh, ol)[..., :nrhs_true]
     else:
         # P2P over concatenated neighbour-source tables
         for (rows, sidx_tab, smask_tab), (_s_class, c_scan, c_pal) in zip(p2p_groups, p2p_meta):
@@ -501,6 +558,10 @@ class FmmTree:
         # fixed target-bucket width (leaves with more targets span rows)
         self._tmax = min(128, _next_pow2(max(self.smax, 8)))
         self._use_pallas = _pallas_default()
+        # "f64"-grade requests route to the df64 split-precision tier on
+        # TPU backends (native f64 dots are 19-pass emulated, ~19x slower
+        # and OOM-prone); CPU backends keep true f64.
+        self._f64_prec = "df64" if self._use_pallas else "f64"
 
     # ------------------------------------------------------------ operators
     def _build_operators(self):
@@ -717,17 +778,20 @@ class FmmTree:
             resh2 = lambda a: jnp.asarray(a.reshape((m_pad // pc, pc) + a.shape[1:]))
             p2l = (resh2(tgt_t), resh2(srcr_t), resh2(ctr_t2), resh2(len_t2))
 
-        # Static bucketed source-coordinate tiles (nsl+1, d, smax) f32 for
-        # the gather-free Pallas near field: tile L = nsl is the zero-weight
-        # sentinel neighbour. Padded slots sit at the tree centre — phi is
-        # finite there for every registry kernel and the zero weight kills
-        # the contribution.
-        src_tiles = np.zeros((nsl + 1, d, self.smax), np.float32)
-        src_tiles[:nsl] = np.where(
+        # Static bucketed source-coordinate tiles (nsl+1, d, smax) for the
+        # gather-free Pallas near field, stored as an (hi, lo) f32 pair of
+        # the f64 coordinates (the hi plane doubles as the f32 kernel's
+        # input). Tile L = nsl is the zero-weight sentinel neighbour.
+        # Padded slots sit at the tree centre — phi is finite there for
+        # every registry kernel and the zero weight kills the contribution.
+        tiles64 = np.zeros((nsl + 1, d, self.smax), np.float64)
+        tiles64[:nsl] = np.where(
             self.src_bucket_mask[:nsl, None, :],
             (self.points_sorted - center)[self.src_bucket_idx[:nsl]].transpose(0, 2, 1),
             0.0,
         )
+        src_tiles = tiles64.astype(np.float32)
+        src_tiles_lo = (tiles64 - src_tiles.astype(np.float64)).astype(np.float32)
 
         self._dev = {
             "point_order": jnp.asarray(self.tree.point_order),
@@ -735,6 +799,7 @@ class FmmTree:
             "src_bucket_idx": src_bucket_idx,
             "src_bucket_mask": src_bucket_mask,
             "src_tiles": jnp.asarray(src_tiles),
+            "src_tiles_lo": jnp.asarray(src_tiles_lo),
             "src_leaf_cells": jnp.asarray(self.src_leaf_cells),
             "p2m_scan": p2m_scan,
             "m2m_ops": jnp.asarray(self.m2m_ops),
@@ -776,14 +841,14 @@ class FmmTree:
         """Upward pass (P2M + M2M) over cells with sources."""
         w = jnp.asarray(np.asarray(weights, np.float64).reshape(self._points.shape[0], -1))
         self.nrhs = int(w.shape[1])
-        self._multipole, self._weights_sorted = _upward(self._dev, w)
+        self._multipole, self._weights_sorted = _upward(self._dev, w, prec=self._f64_prec)
         self._local = None
 
     def set_local_coefficients(self, weights) -> None:
         """Full-tree downward pass; enables ``evaluate_leaves``."""
         if self._multipole is None:
             self.set_weights(weights)
-        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
+        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params, prec=self._f64_prec)
 
     # --------------------------------------------------------- evaluation
     _HWM_FLOORS = {"ntl": 32, "nchunks": 2, "m2p": 128, "n": 1024}
@@ -959,7 +1024,9 @@ class FmmTree:
     def _leaf_pass(self, targets, binned, with_grads: bool):
         """Fused leaf pass; returns host arrays."""
         n = binned["ntargets"]
-        vals, grads = self._leaf_pass_device(binned, with_grads)
+        # gradients have no df64 Pallas path yet: they take the f64 scan
+        prec = "f64" if with_grads else self._f64_prec
+        vals, grads = self._leaf_pass_device(binned, with_grads, prec=prec)
         if with_grads:
             return np.asarray(vals)[:n], np.asarray(grads)[:n]
         return np.asarray(vals)[:n], None
@@ -1010,6 +1077,8 @@ class FmmTree:
         inner mode of the mixed-precision refined solver; "f64" is exact.
         """
         binned = self._target_cache[reuse_key]
+        if precision == "f64":
+            precision = self._f64_prec
         vals, mult, local, wsorted = _matvec_fused(
             self._dev,
             weights_dev,
@@ -1040,7 +1109,7 @@ class FmmTree:
         if self._multipole is None:
             self.set_weights(weights)
         binned = self._bin_targets(target_points, reuse_key)
-        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
+        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params, prec=self._f64_prec)
         vals, _ = self._leaf_pass(target_points, binned, with_grads=False)
         return vals
 
@@ -1049,7 +1118,7 @@ class FmmTree:
         if self._multipole is None:
             self.set_weights(weights)
         binned = self._bin_targets(target_points, reuse_key)
-        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params)
+        self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params, prec=self._f64_prec)
         return self._leaf_pass(target_points, binned, with_grads=True)
 
     def evaluate_leaves(self, weights, target_points, reuse_key=None) -> np.ndarray:

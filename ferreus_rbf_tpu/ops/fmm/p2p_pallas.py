@@ -146,6 +146,136 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
     )
 
 
+def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+                      oh_ref, ol_ref, *, phi_df64, d, nsl, keep):
+    """f64-grade near-field tile: df64 distances/phi on the VPU + exact
+    bf16 split-dot contraction on the MXU (see ops/df64.py).
+
+    grid (R, U); out blocks (1, T, nrhs) x2 revisited across U with df64
+    accumulation. w planes arrive pre-sliced per leaf tile (sigma shared
+    along the source axis, as slice-product exactness requires).
+    """
+    from .. import df64 as dd
+
+    u = pl.program_id(1)
+    # --- r2 in df64: per-dim two_sum difference, squared and accumulated
+    r2h = None
+    r2l = None
+    for i in range(d):
+        th = th_ref[0, :, i : i + 1]
+        tl = tl_ref[0, :, i : i + 1]
+        sh = sh_ref[0, i : i + 1, :]
+        sl = sl_ref[0, i : i + 1, :]
+        dh, e = dd.two_sum(th, -sh)
+        dh, dl = dd.quick_two_sum(dh, e + (tl - sl))
+        qh, ql = dd.sqr(dh, dl)
+        r2h, r2l = (qh, ql) if r2h is None else dd.add(r2h, r2l, qh, ql)
+    ph, plo = phi_df64(r2h, r2l)  # (T, S) df64
+
+    # --- slice phi into nsl bf16 planes, sigma per target row ------------
+    m = jnp.max(jnp.abs(ph), axis=1, keepdims=True)
+    sigma = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(m, 1e-30))) + 1.0)
+    resid = ph
+    planes = []
+    for k in range(nsl):
+        c = sigma * jnp.float32(1.5 * (1 << 15))
+        s = (resid + c) - c
+        resid = resid - s
+        if k == 2:
+            resid, plo = dd.two_sum(resid, plo)
+        planes.append(s)  # bf16-representable by construction
+        sigma = sigma * jnp.float32(1.0 / 256.0)
+
+    # --- exact split dots, diagonal-wise f32 combine, df64 accumulate ----
+    # Both operands hold bf16-representable values, so an f32 dot at
+    # DEFAULT precision (one bf16 MXU pass, f32 accumulation) is exact.
+    acc_h = None
+    acc_l = None
+    for k in range(keep):
+        diag = None
+        for i in range(min(k + 1, nsl)):
+            j = k - i
+            if j >= nsl:
+                continue
+            # HIGHEST on exactly-bf16 values adds only zero passes (the
+            # first split recovers the value exactly), and unlike DEFAULT
+            # it lowers for every (S, nrhs) shape Mosaic sees here —
+            # DEFAULT failed with "only constant accumulators supported"
+            # at the solver's nrhs=1.
+            part = jax.lax.dot_general(
+                planes[i],
+                wp_ref[0, j].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (T, nrhs)
+            diag = part if diag is None else diag + part
+        if diag is None:
+            continue
+        if acc_h is None:
+            acc_h, acc_l = diag, jnp.zeros_like(diag)
+        else:
+            acc_h, acc_l = dd.add(acc_h, acc_l, diag, jnp.zeros_like(diag))
+
+    @pl.when(u == 0)
+    def _():
+        oh_ref[0] = acc_h
+        ol_ref[0] = acc_l
+
+    @pl.when(u != 0)
+    def _():
+        nh, nl = dd.add(oh_ref[0], ol_ref[0], acc_h, acc_l)
+        oh_ref[0] = nh
+        ol_ref[0] = nl
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "nsl", "keep", "interpret"))
+def p2p_leaf_pairs_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, nbr_tab,
+                        *, kparams, nsl=6, keep=6, interpret=False):
+    """f64-grade bucketed near field (layout as :func:`p2p_leaf_pairs`).
+
+    tgt_hi/lo (R, T, d) f32; src_hi/lo (L+1, d, S) f32; w_planes
+    (L+1, nsl, nrhs, S) bf16 pre-sliced per tile (``df64.slice_planes``
+    along S, sentinel tile zero); nbr_tab (U, R) int32. Returns the
+    (R, T, nrhs) result as an (hi, lo) f32 pair — combine with
+    ``df64.to_f64``. Replaces the reference's f64 near field
+    (``bbfmm.rs:1162``) at VPU/MXU rates instead of XLA's 19-pass f64
+    dot emulation.
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_hi.shape
+    _, dd_, s = src_hi.shape
+    nrhs = w_planes.shape[2]
+    u = nbr_tab.shape[0]
+    phi = _k.make_phi_df64(kparams)
+    body = functools.partial(_pair_kernel_df64, phi_df64=phi, d=d, nsl=nsl, keep=keep)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, u),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, dd_, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, dd_, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, nsl, nrhs, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0, i * 0), memory_space=_VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, nrhs), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, t, nrhs), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+            jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+        ),
+        interpret=interpret,
+    )(nbr_tab, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)
+
+
 @functools.partial(jax.jit, static_argnames=("kparams", "interpret"))
 def p2p_rows(tpts_rows, src_pts_t, src_w_t, *, kparams, interpret=False):
     """Fused near-field row pass.

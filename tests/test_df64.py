@@ -120,11 +120,13 @@ def test_phi_df64_matches_f64(rng, kt):
     assert np.max(np.abs(got - ref) / scale) < 5e-13, kt
 
 
-def test_ozaki_dot_long_contraction_exact_accumulation(rng):
-    # 256-term contraction: the accumulation-exactness boundary for bf16
-    # slice products in f32
-    a = rng.standard_normal((8, 256))
-    b = rng.standard_normal((256, 8))
+@pytest.mark.parametrize("k", [256, 6004])
+def test_ozaki_dot_long_contraction_exact_accumulation(rng, k):
+    # 256 is the exact-accumulation boundary for bf16 slice products in
+    # f32; 6004 (the 100k-pt M2L fused-contraction length) exercises the
+    # contraction chunking + f64 partial reduction
+    a = rng.standard_normal((8, k))
+    b = rng.standard_normal((k, 8))
     got = np.asarray(df64.ozaki_einsum("ik,kj->ij", jnp.asarray(a), jnp.asarray(b)))
     scale = np.abs(a) @ np.abs(b)
     err = np.max(np.abs(got - a @ b) / scale)
