@@ -455,11 +455,15 @@ def _leaf_all(
 
     # M2P over concatenated w-cell Chebyshev-node tables
     mult_flat = mult.reshape(-1, mult.shape[-1])
-    for (rows, nidx_tab, nmask_tab), (_w_class, c_scan, c_pal) in zip(m2p_groups, m2p_meta):
+    for (rows, nidx_tab, nmask_tab), (w_class, c_scan, c_pal) in zip(m2p_groups, m2p_meta):
+        # the row kernel keeps a (T, w_class) phi tile in VMEM: big width
+        # classes (observed 65536 on the albatite adaptive tree) must take
+        # the scan path or the kernel overruns the 16 MB VMEM
+        pal_ok = pallas_nf and tpts.shape[1] * w_class <= (1 << 20)
         vals, grads = _near_field_class(
-            kernel, kparams, pallas_nf, with_grads, ct,
+            kernel, kparams, pal_ok, with_grads, ct,
             tpts, tgt_mask, dev["cell_nodes_flat"], mult_flat, rows, nidx_tab, nmask_tab,
-            c_pal if pallas_nf else c_scan,
+            c_pal if pal_ok else c_scan,
         )
         vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
         if with_grads:

@@ -197,17 +197,18 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
             j = k - i
             if j >= nsl:
                 continue
-            # HIGHEST on exactly-bf16 values adds only zero passes (the
-            # first split recovers the value exactly), and unlike DEFAULT
-            # it lowers for every (S, nrhs) shape Mosaic sees here —
-            # DEFAULT failed with "only constant accumulators supported"
-            # at the solver's nrhs=1.
+            # DEFAULT = one bf16 MXU pass with f32 accumulation — exact
+            # here because both operands are bf16-grid values. (Mosaic
+            # fails to lower DEFAULT at nrhs=1, "only constant
+            # accumulators supported" — the caller pads nrhs to multiples
+            # of 8; HIGHEST would be equally exact but 6x the MXU passes,
+            # measured as a 1.6x whole-matvec slowdown.)
             part = jax.lax.dot_general(
                 planes[i],
                 wp_ref[0, j].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision.DEFAULT,
             )  # (T, nrhs)
             diag = part if diag is None else diag + part
         if diag is None:
