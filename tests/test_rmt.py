@@ -120,6 +120,115 @@ def test_boundary_closure_volumes():
     assert abs(signed_volume(closed_neg) - (box - cut_sphere)) < 0.15
 
 
+def _mc_volume(f, extents, n=400_000, seed=5):
+    """Monte-Carlo volume of {f < 0} inside the box."""
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(extents[:3])
+    hi = np.asarray(extents[3:])
+    pts = lo + rng.random((n, 3)) * (hi - lo)
+    frac = float(np.mean(f(pts).reshape(-1) < 0.0))
+    return frac * float(np.prod(hi - lo))
+
+
+def _grad_from_f(f, eps=1e-5):
+    def g(pts):
+        v = f(pts)
+        grads = np.zeros_like(pts)
+        for k in range(3):
+            dp = np.zeros(3)
+            dp[k] = eps
+            grads[:, k] = ((f(pts + dp) - f(pts - dp)) / (2 * eps)).reshape(-1)
+        return v, grads
+    return g
+
+
+# ---------------------------------------------------- adversarial closure
+# VERDICT r1 item 5: cases where the earcut+perimeter-completion closure
+# could diverge from the reference's per-face CDT + inside/outside flood
+# (``boundary_closure.rs:39-48,642``): nested loops on one face, caps
+# meeting at box edges/corners, many exit faces, multiple components.
+
+
+def test_closure_annulus_nested_loops():
+    """Hollow cylinder through two opposite faces: each z-face cap is an
+    ANNULUS (outer loop + hole on one face)."""
+    c, w = 0.6, 0.25
+
+    def f(pts):
+        rho = np.linalg.norm(pts[:, :2], axis=1, keepdims=True)
+        return np.abs(rho - c) - w
+
+    ext = [-1.2, -1.2, -0.5, 1.2, 1.2, 0.5]
+    # the two cylinders are disconnected isosurface components: seed both
+    # (the RBF pipeline seeds every source point, which covers this)
+    seeds = np.array([[c + w, 0.0, 0.0], [c - w, 0.0, 0.0]])
+    mesh = build_isosurface(seeds, ext, 0.06, 0.0, f, _grad_from_f(f),
+                            ClusterMethod.CurvatureWeighted, BoundaryClosure.ClosePositive)
+    assert is_watertight(mesh)
+    expect = np.pi * ((c + w) ** 2 - (c - w) ** 2) * 1.0  # annulus x height
+    vol = signed_volume(mesh)
+    assert abs(vol - expect) < 0.06 * expect, (vol, expect)
+
+
+def test_closure_corner_caps():
+    """Sphere centred on a box corner: three face caps meet at box edges
+    and at the corner itself; enclosed volume is one sphere octant."""
+    r = 0.8
+
+    def f(pts):
+        return np.linalg.norm(pts - np.array([1.0, 1.0, 1.0]), axis=1, keepdims=True) - r
+
+    ext = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+    s = 1.0 - r / np.sqrt(3.0)
+    seeds = np.array([[s, s, s]])
+    mesh = build_isosurface(seeds, ext, 0.05, 0.0, f, _grad_from_f(f),
+                            ClusterMethod.CurvatureWeighted, BoundaryClosure.ClosePositive)
+    assert is_watertight(mesh)
+    expect = (4.0 / 3.0) * np.pi * r**3 / 8.0
+    vol = signed_volume(mesh)
+    assert abs(vol - expect) < 0.08 * expect, (vol, expect)
+
+
+def test_closure_five_exit_faces():
+    """Off-centre large sphere exiting through five of the six faces."""
+    ctr = np.array([0.0, 0.0, 0.5])
+    r = 1.3
+
+    def f(pts):
+        return np.linalg.norm(pts - ctr, axis=1, keepdims=True) - r
+
+    ext = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+    seeds = np.array([[0.0, 0.0, 0.5 - r]])
+    mesh = build_isosurface(seeds, ext, 0.06, 0.0, f, _grad_from_f(f),
+                            ClusterMethod.CurvatureWeighted, BoundaryClosure.ClosePositive)
+    assert is_watertight(mesh)
+    expect = _mc_volume(f, ext)
+    vol = signed_volume(mesh)
+    assert abs(vol - expect) < 0.05 * expect, (vol, expect)
+
+
+def test_closure_multi_component():
+    """Two disjoint spheres poking through opposite faces: the closure must
+    cap two separate components on different faces in one pass."""
+    c1 = np.array([0.9, 0.0, 0.0])
+    c2 = np.array([-0.9, 0.0, 0.0])
+    r = 0.5
+
+    def f(pts):
+        d1 = np.linalg.norm(pts - c1, axis=1) - r
+        d2 = np.linalg.norm(pts - c2, axis=1) - r
+        return np.minimum(d1, d2)[:, None]
+
+    ext = [-1.2, -1.2, -1.2, 1.2, 1.2, 1.2]
+    seeds = np.array([[0.9, 0.0, -r], [-0.9, 0.0, -r]])
+    mesh = build_isosurface(seeds, ext, 0.05, 0.0, f, _grad_from_f(f),
+                            ClusterMethod.CurvatureWeighted, BoundaryClosure.ClosePositive)
+    assert is_watertight(mesh)
+    expect = _mc_volume(f, ext)
+    vol = signed_volume(mesh)
+    assert abs(vol - expect) < 0.06 * expect, (vol, expect)
+
+
 def test_open_clip_leaves_boundary():
     extents = [-1.5, -1.5, -1.5, 0.6, 1.5, 1.5]
     mesh = build_isosurface(
