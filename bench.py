@@ -178,7 +178,7 @@ def main():
             if name == "headline":
                 headline = r
         except Exception as e:  # record, keep going
-            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:1200]
 
     print(json.dumps({
         "metric": "fmm_matvec_pts_per_s_100k_p5_rhs8_mixedprec",

@@ -312,6 +312,21 @@ def refined_fgmres_device(
     # each f32 inner solve can reliably reduce its own residual ~1e-5
     inner_drop = 1e-5
 
+    # Refinement contracts only while kappa(A) * eps_inner < 1. For stiff
+    # systems (e.g. 2D thin-plate-spline, whose spectrum on the
+    # poly-orthogonal complement decays fast) the f32 operator noise gets
+    # amplified through the near-singular modes: each round solves
+    # A dx = (noise) whose true solution has a HUGE norm, and the iterate
+    # diverges geometrically (measured x17/round on v5e). When a round
+    # fails to contract, escalate the inner operator to the f64-grade
+    # matvec (the df64 tier, ~3.5x an f32 matvec); if it still fails to
+    # contract, return the best iterate seen.
+    inner_op = a_f32
+    escalated = False
+    prev_res = np.inf
+    best_res = np.inf
+    best_x = x
+
     for _refine in range(max_refinements):
         r = b - a_f64(x)
         if tolerance.tolerance_type == FittingAccuracyType.Absolute:
@@ -320,8 +335,21 @@ def refined_fgmres_device(
         else:
             res = float(jnp.linalg.norm(r)) / beta
             rel = res
+        if res < best_res:
+            best_res = res
+            best_x = x
         if res < tolerance.tolerance:
             break
+        if res > 0.5 * prev_res:
+            if not escalated:
+                inner_op = a_f64
+                escalated = True
+                x = best_x  # restart refinement from the best point
+                r = b - a_f64(x)
+                res = best_res
+            else:
+                break  # not contracting even with the f64-grade inner
+        prev_res = res
 
         # inner relative tolerance: enough to finish if possible, else the
         # f32 floor
@@ -329,9 +357,9 @@ def refined_fgmres_device(
         if tolerance.tolerance_type == FittingAccuracyType.Absolute:
             # absolute outer tolerance -> relative inner target on r
             remaining = tolerance.tolerance / max(float(jnp.linalg.norm(r)), 1e-300)
-        inner_tol = max(inner_drop, 0.3 * remaining)
+        inner_tol = max(inner_drop if not escalated else 1e-9, 0.3 * remaining)
         dx = fgmres_device(
-            a_f32,
+            inner_op,
             r,
             m=m,
             max_outer_iterations=max_outer_iterations,
@@ -341,7 +369,14 @@ def refined_fgmres_device(
         )
         x = x + dx
 
-    return x
+    # final bookkeeping: the last update may have overshot on a stiff
+    # system; return the best verified iterate
+    r = b - a_f64(x)
+    if tolerance.tolerance_type == FittingAccuracyType.Absolute:
+        res = float(jnp.max(jnp.abs(r)))
+    else:
+        res = float(jnp.linalg.norm(r)) / beta
+    return x if res <= best_res else best_x
 
 
 def schwarz_ddm_solver_device(

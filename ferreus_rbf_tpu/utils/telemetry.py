@@ -98,3 +98,31 @@ def xla_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def compiled_program_counts() -> dict:
+    """Per-entry-point jit-cache sizes (compiled XLA program counts).
+
+    Each entry counts distinct (shape, static-arg) signatures compiled for
+    one of the framework's jitted pass functions — the quantity the
+    high-water-mark shape padding exists to bound. Useful for cold-start
+    accounting: ``sum(compiled_program_counts().values())`` after a fit is
+    the number of XLA compilations the fit triggered in this process.
+    """
+    from ..ops.fmm import api as fmm_api
+    from ..ops.fmm import p2p_pallas
+
+    counts = {}
+    for mod, names in (
+        (fmm_api, ("_upward", "_downward", "_leaf_all", "_matvec_fused")),
+        (p2p_pallas, ("p2p_rows", "p2p_leaf_pairs", "p2p_leaf_pairs_df64")),
+    ):
+        for name in names:
+            fn = getattr(mod, name, None)
+            size = getattr(fn, "_cache_size", None)
+            if callable(size):
+                try:
+                    counts[name] = int(size())
+                except Exception:
+                    pass
+    return counts

@@ -363,6 +363,43 @@ def test_eval_chunk_size_changes_chunking_not_values():
     np.testing.assert_allclose(results[0], results[1], rtol=1e-13, atol=1e-13)
 
 
+def test_pallas_df64_near_field_matches_f64(monkeypatch):
+    """The df64 Pallas near field (interpret mode on CPU) must reproduce
+    the true-f64 matvec to df64 accuracy through the full fused path."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    orig = pp.p2p_leaf_pairs_df64
+    monkeypatch.setattr(
+        pp, "p2p_leaf_pairs_df64",
+        functools.partial(
+            jax.jit(orig.__wrapped__, static_argnames=("kparams", "nsl", "keep", "interpret")),
+            interpret=True,
+        ),
+    )
+    rng = np.random.default_rng(17)
+    pts = rng.random((2500, 3))
+    kp = KernelParams(KernelType.CubicRbf)
+    tree = fmm_api.FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True)
+    tree.prepare_targets(pts, "src")
+    n_pad = tree._target_cache["src"]["n_pad"]
+    w = jnp.asarray(rng.standard_normal((n_pad, 2)))
+    v_f64 = np.asarray(tree.evaluate_device(w, "src", precision="f64"))
+    monkeypatch.setattr(tree, "_use_pallas", True)
+    v_df = np.asarray(tree.evaluate_device(w, "src", precision="df64"))
+    err = np.max(np.abs(v_df - v_f64)) / np.max(np.abs(v_f64))
+    # the pallas INTERPRETER shows a ~6e-9 artifact for sqrt-chain kernels
+    # that neither the plain-jnp replication of the kernel body nor the
+    # real-TPU run exhibits (hardware: 1.6e-13 vs the CPU f64 oracle,
+    # scripts/df64_matvec_check.py); keep the interpret-mode gate at 1e-8
+    assert err < 1e-8, err
+
+
 def test_f32_matvec_with_utm_scale_offsets():
     """Real-world coordinates (UTM northings ~7.7e6 with metre-scale
     extents) must not lose precision in the f32 inner-matvec path: device
