@@ -377,6 +377,44 @@ def _near_field_class(
     return vals.reshape((r,) + vals.shape[2:]), grads.reshape((r,) + grads.shape[2:])
 
 
+def _chunk_pair_rows(call, tpts_args, nbr_tab):
+    """Scan a bucketed pair-kernel call over target-row chunks.
+
+    The scalar-prefetched (U, R) neighbour table lives in the 1 MB SMEM;
+    at 1M points R ~ 16k and the padded table is ~4 MB. Rows are split
+    into chunks of <= 4096 (<= ~0.5 MB of SMEM) and the kernel scans over
+    them — which also makes the compiled kernel shape independent of the
+    total row count.
+
+    ``tpts_args`` are the per-row (R, ...) leading-axis operands;
+    ``call(chunked_tpts_args, nbr_chunk)`` returns a TUPLE of (Rc, ...)
+    outputs.
+    """
+    r = tpts_args[0].shape[0]
+    # SMEM budget ~450 KB for the prefetched table: the (U, Rc) i32 chunk
+    # pads U up to the next multiple of 8 sublanes (observed U=58 on a
+    # 1M-pt adaptive tree -> 64 x 4096 x 4 B = exactly the 1 MB SMEM)
+    u_pad = -(-nbr_tab.shape[0] // 8) * 8
+    budget_rows = max(512, (450 * 1024) // (u_pad * 4))
+    chunk = 1 << (budget_rows.bit_length() - 1)
+    chunk = min(chunk, r)
+    nc = r // chunk
+    if nc <= 1:
+        return call(tpts_args, nbr_tab)
+    resh = lambda a: a.reshape((nc, chunk) + a.shape[1:])
+    nbr_r = nbr_tab.reshape(nbr_tab.shape[0], nc, chunk).transpose(1, 0, 2)
+
+    def body(_, sl):
+        t_args = sl[:-1]
+        nbr_c = sl[-1]
+        return None, call(t_args, nbr_c)
+
+    _, outs = jax.lax.scan(
+        body, None, tuple(resh(a) for a in tpts_args) + (nbr_r,)
+    )
+    return tuple(o.reshape((r,) + o.shape[2:]) for o in outs)
+
+
 @_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas", "ecs"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
@@ -415,9 +453,10 @@ def _leaf_all(
             w_sorted[dev["src_bucket_idx"]].astype(jnp.float32),
             jnp.float32(0.0),
         ).transpose(0, 2, 1)
-        vals = p2p_pallas.p2p_leaf_pairs(
-            tpts.astype(jnp.float32), dev["src_tiles"], w_tiles, nbr_tab,
-            kparams=kparams,
+        (vals,) = _chunk_pair_rows(
+            lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_pairs(
+                t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
+            (tpts.astype(jnp.float32),), nbr_tab,
         )
         vals_b = vals_b + vals.astype(jnp.float64)
     elif pallas_df and nbr_tab is not None:
@@ -436,9 +475,11 @@ def _leaf_all(
         planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
         w_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nsl+1, 6, nrhs, S)
         th, tl = df64_mod.from_f64(tpts)
-        oh, ol = p2p_pallas.p2p_leaf_pairs_df64(
-            th, tl, dev["src_tiles"], dev["src_tiles_lo"], w_planes, nbr_tab,
-            kparams=kparams,
+        oh, ol = _chunk_pair_rows(
+            lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
+                t_args[0], t_args[1], dev["src_tiles"], dev["src_tiles_lo"],
+                w_planes, nbr_c, kparams=kparams),
+            (th, tl), nbr_tab,
         )
         vals_b = vals_b + df64_mod.to_f64(oh, ol)[..., :nrhs_true]
     else:
