@@ -108,6 +108,50 @@ def test_device_fgmres_matches_host_mgs_iterations():
     assert abs(it_dev - it_host) <= 5, (it_dev, it_host)
 
 
+def test_refined_fgmres_escalates_on_stiff_system():
+    """Iterative refinement contracts only while kappa(A) * eps_inner < 1.
+    On a kappa ~ 3e8 system an f32 inner operator amplifies its own noise
+    through the near-singular modes (the 2D-TPS-on-TPU failure mode);
+    the refined solver must detect the non-contraction, escalate the
+    inner operator to a_f64, and still converge."""
+    import jax.numpy as jnp
+
+    from ferreus_rbf_tpu.solver.fgmres import refined_fgmres_device
+
+    rng = np.random.default_rng(3)
+    n = 100
+    d = np.logspace(-8, 0.5, n)  # kappa ~ 3e8
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = (q * d) @ q.T
+    a = 0.5 * (a + a.T)
+    a_dev = jnp.asarray(a)
+    x_true = rng.standard_normal((n, 1))
+    b = a @ x_true
+
+    def a_f64(v):
+        return a_dev @ v
+
+    def a_f32(v):
+        # f32-grade operator: inputs/outputs rounded through float32
+        v32 = jnp.asarray(v, jnp.float32)
+        return (jnp.asarray(a, jnp.float32) @ v32).astype(jnp.float64)
+
+    # strong preconditioner (the Schwarz analogue): the exact inverse
+    a_inv = jnp.asarray(np.linalg.inv(a))
+
+    def m(v):
+        return a_inv @ v
+
+    sol = refined_fgmres_device(
+        a_f64, a_f32, jnp.asarray(b), m=m,
+        max_outer_iterations=10, max_inner_iterations=10,
+        tolerance=FittingAccuracy(1e-10, FittingAccuracyType.Relative),
+        max_refinements=10,
+    )
+    res = np.linalg.norm(a @ np.asarray(sol) - b) / np.linalg.norm(b)
+    assert res < 1e-9, res
+
+
 def test_stationary_solver_with_exact_preconditioner():
     rng = np.random.default_rng(3)
     n = 40
