@@ -272,7 +272,9 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
     r = local.shape[-1]
     rows, t = tgt_idx.shape
     nnodes = local.shape[-2]
-    chunk = max(8, ((1 << 25) * max(int(ecs), 1) // 1024) // max(t * nnodes, 1))
+    # budget 1<<23 elements: the df64 tier's split-dot planes multiply the
+    # per-chunk transient ~6x, and 1<<25 OOM'd a 16 GB chip at 3M points
+    chunk = max(8, ((1 << 23) * max(int(ecs), 1) // 1024) // max(t * nnodes, 1))
     chunk = 1 << (int(chunk).bit_length() - 1)
     chunk = min(chunk, rows)  # rows is pow2-padded, so chunk divides it
 
@@ -465,13 +467,6 @@ def _leaf_all(
             w_sorted[dev["src_bucket_idx"]],
             0.0,
         ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
-        # Mosaic cannot lower the in-kernel dots to a 1-lane output
-        # ("only constant accumulators supported" at nrhs=1): pad the RHS
-        # axis to a multiple of 8 with zero columns and slice after.
-        nrhs_true = w_tiles64.shape[1]
-        nrhs_pad = -(-nrhs_true // 8) * 8
-        if nrhs_pad != nrhs_true:
-            w_tiles64 = jnp.pad(w_tiles64, ((0, 0), (0, nrhs_pad - nrhs_true), (0, 0)))
         planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
         w_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nsl+1, 6, nrhs, S)
         th, tl = df64_mod.from_f64(tpts)
@@ -481,7 +476,8 @@ def _leaf_all(
                 w_planes, nbr_c, kparams=kparams),
             (th, tl), nbr_tab,
         )
-        vals_b = vals_b + df64_mod.to_f64(oh, ol)[..., :nrhs_true]
+        # kernel output is (R, nrhs, T): weights-major so nrhs needs no pad
+        vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
     else:
         # P2P over concatenated neighbour-source tables
         for (rows, sidx_tab, smask_tab), (_s_class, c_scan, c_pal) in zip(p2p_groups, p2p_meta):
@@ -786,7 +782,8 @@ class FmmTree:
         # on the fly inside _upward (see there for why). Chunk sized so the
         # per-chunk (chunk, smax, p^d) transient stays ~256 MB in f64.
         nsl = self.nsl
-        chunk = max(8, (1 << 25) // max(self.smax * self.nnodes, 1))
+        # 1<<23: see the L2P chunk comment (df64 transient headroom at 3M)
+        chunk = max(8, (1 << 23) // max(self.smax * self.nnodes, 1))
         chunk = 1 << (int(chunk).bit_length() - 1)
         nsl_pad = ((nsl + chunk - 1) // chunk) * chunk
         chunk = min(chunk, nsl_pad)
@@ -942,7 +939,8 @@ class FmmTree:
 
         ntl = len(rows)
         ntl_pad = self._hwm_pad("ntl", ntl)
-        tgt_idx = np.zeros((ntl_pad, tmax), np.int64)
+        # int32 indices: the (ntl_pad, T) table is 67 MB in i64 at 3M points
+        tgt_idx = np.zeros((ntl_pad, tmax), np.int32)
         tgt_mask = np.zeros((ntl_pad, tmax), bool)
         tcells_pad = np.zeros(ntl_pad, np.int64)
         for i, idxs in enumerate(rows):
@@ -1015,14 +1013,20 @@ class FmmTree:
                     cc = concat_map[row_cell[ri]]
                     tab[j, : cc.size] = cc
                     mask[j, : cc.size] = True
-                groups.append(
-                    (jnp.asarray(rsel), jnp.asarray(tab), jnp.asarray(mask))
-                )
+                groups.append((rsel, tab, mask))
                 meta.append((w_class, chunk_scan, chunk_pallas))
             return tuple(groups), tuple(meta)
 
-        p2p_groups, p2p_meta = build_groups(cell_src_concat, "p2p")
-        m2p_groups, m2p_meta = build_groups(cell_node_concat, "m2p")
+        # P2P scan tables stay HOST-side: the Pallas route never reads
+        # them and they are GB-scale at 1M+ points (rows x w_class int32
+        # per width class). They upload lazily on the first scan-path call
+        # (gradients / CPU backends / forced-off Pallas). M2P tables ship
+        # to the device right away — adaptive trees read them each matvec.
+        p2p_groups_host, p2p_meta = build_groups(cell_src_concat, "p2p")
+        m2p_groups_host, m2p_meta = build_groups(cell_node_concat, "m2p")
+        m2p_groups = tuple(
+            tuple(jnp.asarray(a) for a in grp) for grp in m2p_groups_host
+        )
 
         # Per-row u-list leaf-tile table for the gather-free Pallas P2P:
         # (U, ntl_pad) int32, TRANSPOSED for SMEM (see p2p_leaf_pairs),
@@ -1054,7 +1058,7 @@ class FmmTree:
             "nbr_tab": jnp.asarray(np.ascontiguousarray(nbr_tab.T)),
             "inv_row": jnp.asarray(inv_row),
             "inv_slot": jnp.asarray(inv_slot),
-            "p2p_groups": p2p_groups,
+            "p2p_groups_host": p2p_groups_host,
             "p2p_meta": p2p_meta,
             "m2p_groups": m2p_groups,
             "m2p_meta": m2p_meta,
@@ -1085,7 +1089,29 @@ class FmmTree:
         """Bind a named target set for the device-resident matvec path."""
         self._bin_targets(target_points, reuse_key)
 
+
+    def _p2p_args(self, binned, prec: str, with_grads: bool):
+        """(p2p_groups, p2p_meta) for a leaf-pass call.
+
+        The Pallas near-field route covers prec in {"f32", "df64"} without
+        gradients; it never touches the scan tables, so they are omitted
+        from the program entirely (empty static meta). Scan-path callers
+        get the device copies, uploaded once per target set.
+        """
+        pallas_route = (
+            self._use_pallas and prec in ("f32", "df64") and not with_grads
+        )
+        if pallas_route:
+            return (), ()
+        if "p2p_groups_dev" not in binned:
+            binned["p2p_groups_dev"] = tuple(
+                tuple(jnp.asarray(a) for a in grp)
+                for grp in binned["p2p_groups_host"]
+            )
+        return binned["p2p_groups_dev"], binned["p2p_meta"]
+
     def _leaf_pass_device(self, binned, with_grads: bool, prec: str = "f64"):
+        p2p_groups, p2p_meta = self._p2p_args(binned, prec, with_grads)
         return _leaf_all(
             self._dev,
             binned["targets_pad"],
@@ -1095,7 +1121,7 @@ class FmmTree:
             self._local,
             self._multipole,
             self._weights_sorted,
-            binned["p2p_groups"],
+            p2p_groups,
             binned["m2p_groups"],
             binned["nbr_tab"],
             binned["inv_row"],
@@ -1104,7 +1130,7 @@ class FmmTree:
             d=self.d,
             p=self.p,
             n_pad=binned["n_pad"],
-            p2p_meta=binned["p2p_meta"],
+            p2p_meta=p2p_meta,
             m2p_meta=binned["m2p_meta"],
             with_grads=with_grads,
             prec=prec,
@@ -1124,6 +1150,7 @@ class FmmTree:
         binned = self._target_cache[reuse_key]
         if precision == "f64":
             precision = self._f64_prec
+        p2p_groups, p2p_meta = self._p2p_args(binned, precision, False)
         vals, mult, local, wsorted = _matvec_fused(
             self._dev,
             weights_dev,
@@ -1131,7 +1158,7 @@ class FmmTree:
             binned["tgt_idx"],
             binned["tgt_mask"],
             binned["tcells"],
-            binned["p2p_groups"],
+            p2p_groups,
             binned["m2p_groups"],
             binned["nbr_tab"],
             binned["inv_row"],
@@ -1140,7 +1167,7 @@ class FmmTree:
             d=self.d,
             p=self.p,
             n_pad=binned["n_pad"],
-            p2p_meta=binned["p2p_meta"],
+            p2p_meta=p2p_meta,
             m2p_meta=binned["m2p_meta"],
             prec=precision,
             use_pallas=self._use_pallas,

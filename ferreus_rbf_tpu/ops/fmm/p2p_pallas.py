@@ -189,6 +189,10 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
     # --- exact split dots, diagonal-wise f32 combine, df64 accumulate ----
     # Both operands hold bf16-representable values, so an f32 dot at
     # DEFAULT precision (one bf16 MXU pass, f32 accumulation) is exact.
+    # The dot runs WEIGHTS-major, output (nrhs, T): with T on the lane
+    # axis Mosaic lowers any nrhs (an (T, nrhs=1) output hit "only
+    # constant accumulators supported"), and the caller needs no RHS
+    # padding — 8x less w-plane memory for single-RHS solves.
     acc_h = None
     acc_l = None
     for k in range(keep):
@@ -197,19 +201,13 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
             j = k - i
             if j >= nsl:
                 continue
-            # DEFAULT = one bf16 MXU pass with f32 accumulation — exact
-            # here because both operands are bf16-grid values. (Mosaic
-            # fails to lower DEFAULT at nrhs=1, "only constant
-            # accumulators supported" — the caller pads nrhs to multiples
-            # of 8; HIGHEST would be equally exact but 6x the MXU passes,
-            # measured as a 1.6x whole-matvec slowdown.)
             part = jax.lax.dot_general(
-                planes[i],
                 wp_ref[0, j].astype(jnp.float32),
+                planes[i],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
-            )  # (T, nrhs)
+            )  # (nrhs, T)
             diag = part if diag is None else diag + part
         if diag is None:
             continue
@@ -230,6 +228,112 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
         ol_ref[0] = nl
 
 
+def _fused_rows_kernel(nbr_ref, cnt_ref, t_ref, s_hbm, w_hbm, o_ref,
+                       s_scr, w_scr, sems, *, phi_r2, d, u_max):
+    """One grid step = one target row; the neighbour loop runs IN-kernel
+    with double-buffered manual DMA from the HBM-resident leaf tables.
+
+    Versus the (R, U) grid pair kernel this removes the per-step grid
+    overhead (~0.19 us x 27 steps/row) and skips sentinel neighbours
+    entirely (the per-row true count arrives via scalar prefetch), at the
+    price of hand-rolled DMA. Layouts as in :func:`p2p_leaf_pairs`.
+    """
+    i = pl.program_id(0)
+    nu = cnt_ref[i]
+    t, _ = t_ref.shape[1], t_ref.shape[2]
+    nrhs = o_ref.shape[2]
+
+    def start(slot, u):
+        l = nbr_ref[u, i]
+        pltpu.make_async_copy(s_hbm.at[l], s_scr.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(w_hbm.at[l], w_scr.at[slot], sems.at[slot, 1]).start()
+
+    @pl.when(nu > 0)
+    def _():
+        start(0, 0)
+
+    def body(u, acc):
+        slot = u % 2
+        nxt = (u + 1) % 2
+
+        @pl.when(u + 1 < nu)
+        def _():
+            start(nxt, u + 1)
+
+        l = nbr_ref[u, i]
+        pltpu.make_async_copy(s_hbm.at[l], s_scr.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(w_hbm.at[l], w_scr.at[slot], sems.at[slot, 1]).wait()
+        tcol = t_ref[0, :, 0:1]
+        srow = s_scr[slot, 0:1, :]
+        dd = tcol - srow
+        r2 = dd * dd
+        for k in range(1, d):
+            dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, :]
+            r2 = r2 + dd * dd
+        kmat = phi_r2(r2)
+        return acc + jax.lax.dot_general(
+            kmat,
+            w_scr[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, nu, body, jnp.zeros((t_ref.shape[1], nrhs), jnp.float32)
+    )
+    o_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "interpret"))
+def p2p_leaf_fused(tgt_tiles, src_coords_t, src_w_t, nbr_tab, nbr_cnt,
+                   *, kparams, interpret=False):
+    """Near-field pass, one program per target row, in-kernel DMA loop.
+
+    tgt_tiles (R, T, d) f32; src_coords_t (L+1, d, S); src_w_t
+    (L+1, nrhs, S) zero-weight padded; nbr_tab (U, R) int32 (transposed,
+    see :func:`p2p_leaf_pairs`); nbr_cnt (R,) int32 true neighbour counts.
+    Returns (R, T, nrhs) f32.
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_tiles.shape
+    _, dd_, s = src_coords_t.shape
+    nrhs = src_w_t.shape[1]
+    u = nbr_tab.shape[0]
+    phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
+    body = functools.partial(_fused_rows_kernel, phi_r2=phi, d=d, u_max=u)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, nbr, cnt: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # leaf coords stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # leaf weights stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, nrhs), lambda i, nbr, cnt: (i, i * 0, i * 0), memory_space=_VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, dd_, s), jnp.float32),
+            pltpu.VMEM((2, nrhs, s), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+        interpret=interpret,
+    )(
+        nbr_tab,
+        nbr_cnt,
+        tgt_tiles.astype(jnp.float32),
+        src_coords_t.astype(jnp.float32),
+        src_w_t.astype(jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("kparams", "nsl", "keep", "interpret"))
 def p2p_leaf_pairs_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, nbr_tab,
                         *, kparams, nsl=6, keep=6, interpret=False):
@@ -238,8 +342,8 @@ def p2p_leaf_pairs_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, nbr_tab,
     tgt_hi/lo (R, T, d) f32; src_hi/lo (L+1, d, S) f32; w_planes
     (L+1, nsl, nrhs, S) bf16 pre-sliced per tile (``df64.slice_planes``
     along S, sentinel tile zero); nbr_tab (U, R) int32. Returns the
-    (R, T, nrhs) result as an (hi, lo) f32 pair — combine with
-    ``df64.to_f64``. Replaces the reference's f64 near field
+    result TRANSPOSED as (R, nrhs, T) hi/lo f32 pairs — combine with
+    ``df64.to_f64`` and swap the last axes. Replaces the reference's f64 near field
     (``bbfmm.rs:1162``) at VPU/MXU rates instead of XLA's 19-pass f64
     dot emulation.
     """
@@ -262,16 +366,16 @@ def p2p_leaf_pairs_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, nbr_tab,
             pl.BlockSpec((1, nsl, nrhs, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0, i * 0), memory_space=_VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, t, nrhs), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
-            pl.BlockSpec((1, t, nrhs), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, nrhs, t), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, nrhs, t), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
         ),
     )
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
-            jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
         ),
         interpret=interpret,
     )(nbr_tab, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)

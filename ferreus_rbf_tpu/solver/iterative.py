@@ -81,9 +81,18 @@ class DeviceSystem:
         # per-level target binnings + device index arrays for the restricted
         # matvecs the Schwarz sweep issues
         self._level_idx = {}
+        n = points.shape[0]
         for i, level in enumerate(self.ddm_tree.levels[:-1]):
             idx = level.point_indices
-            self.fmm_tree.prepare_targets(points[idx], ("lvl", i))
+            if idx.size == n and np.array_equal(idx, np.arange(n)):
+                # level 0's active set IS all points: reuse the "__all__"
+                # binning instead of duplicating ~400 MB of target tables
+                # at 3M points
+                self.fmm_tree._target_cache[("lvl", i)] = (
+                    self.fmm_tree._target_cache["__all__"]
+                )
+            else:
+                self.fmm_tree.prepare_targets(points[idx], ("lvl", i))
             self._level_idx[i] = jnp.asarray(idx)
         coarse_idx = self.ddm_tree.levels[-1].point_indices
         self.fmm_tree.prepare_targets(points[coarse_idx], ("lvl", "coarse"))

@@ -97,6 +97,35 @@ def main():
     el2 = timeit(many_row, w3) / K
     print(f"row kernel (pre-gathered): {el2*1e3:.2f} ms/call -> {pairs/el2:.3e} pairs/s")
 
+    # fused in-kernel-DMA variant: correctness vs the pair kernel + timing
+    cnt = np.full(R, U, np.int32)
+    cnt[-3:] = U - 3  # exercise variable counts
+    nbr_c = rng.integers(0, L, (U, R)).astype(np.int32)
+    out_pair = np.asarray(p2p_pallas.p2p_leaf_pairs(
+        jnp.asarray(tgt), srcj, wj, jnp.asarray(nbr_c), kparams=kp))
+    nbr_masked = nbr_c.copy()
+    for r_i in range(R):
+        nbr_masked[cnt[r_i]:, r_i] = L  # sentinel beyond the true count
+    out_pair = np.asarray(p2p_pallas.p2p_leaf_pairs(
+        jnp.asarray(tgt), srcj, wj, jnp.asarray(nbr_masked), kparams=kp))
+    out_fused = np.asarray(p2p_pallas.p2p_leaf_fused(
+        jnp.asarray(tgt), srcj, wj, jnp.asarray(nbr_c), jnp.asarray(cnt), kparams=kp))
+    ferr = np.max(np.abs(out_fused - out_pair)) / np.max(np.abs(out_pair))
+    print(f"fused kernel vs pair kernel: rel diff {ferr:.3e}")
+
+    cnt2 = jnp.asarray(np.full(R2, U, np.int32))
+
+    @jax.jit
+    def many_fused(t0):
+        def body(t_c, _):
+            o = p2p_pallas.p2p_leaf_fused(t_c, srcj, wj, nbr2, cnt2, kparams=kp)
+            return t_c * (1.0 + 0.0 * o[0, 0, 0]), o[0, 0, 0]
+        _, outs = jax.lax.scan(body, t0, None, length=K)
+        return jnp.sum(outs)
+
+    el4 = timeit(many_fused, tgt2) / K
+    print(f"fused kernel: {el4*1e3:.2f} ms/call -> {pairs/el4:.3e} pairs/s")
+
     # and the gather cost itself (what the current path pays per matvec)
     sidx = jnp.asarray(rng.integers(0, L * S, (R2, SC)).astype(np.int32))
     pts_flat = jnp.asarray(rng.random((L * S, d)).astype(np.float32))

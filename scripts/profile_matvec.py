@@ -67,7 +67,7 @@ def main():
     leaf = lambda use_pallas: api._leaf_all(
         dev, binned["targets_pad"], binned["tgt_idx"], binned["tgt_mask"],
         binned["tcells"], local, mult, w_sorted,
-        binned["p2p_groups"], binned["m2p_groups"], binned["nbr_tab"],
+        tree._p2p_args(binned, "f64", True)[0], binned["m2p_groups"], binned["nbr_tab"],
         binned["inv_row"], binned["inv_slot"],
         kparams=kp, d=3, p=p,
         n_pad=binned["n_pad"], p2p_meta=binned["p2p_meta"],
@@ -88,12 +88,12 @@ def main():
     print(f"n={n} prec={prec} nrhs={nrhs} p={p}")
     print(f"tree: ncells={tree.tree.num_cells} nleaves={len(tree.tree.leaf_cells)} "
           f"depth={tree.tree.depth}")
-    for (wc, cs, cp), (rows, tab, mask) in zip(binned["p2p_meta"], binned["p2p_groups"]):
+    for (wc, cs, cp), (rows, tab, mask) in zip(binned["p2p_meta"], binned["p2p_groups_host"]):
         m = np.asarray(mask)
         print(f"  p2p class S={wc}: rows={rows.shape[0]} chunk_scan={cs} "
               f"chunk_pallas={cp} fill={m.mean():.2f} pairs={int(m.sum()) * tab.shape[0] // max(tab.shape[0],1)}")
     tot_pairs = sum(int(np.asarray(mask).sum()) * binned["tgt_mask"].shape[1]
-                    for (_, _, mask) in binned["p2p_groups"])
+                    for (_, _, mask) in binned["p2p_groups_host"])
     print(f"  (upper bound pairs incl. row padding: {tot_pairs:.3e})")
     print(f"upward   {t_up*1e3:8.1f} ms")
     print(f"downward {t_down*1e3:8.1f} ms")
