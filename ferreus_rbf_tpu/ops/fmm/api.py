@@ -397,7 +397,10 @@ def _chunk_pair_rows(call, tpts_args, nbr_tab):
     # pads U up to the next multiple of 8 sublanes (observed U=58 on a
     # 1M-pt adaptive tree -> 64 x 4096 x 4 B = exactly the 1 MB SMEM)
     u_pad = -(-nbr_tab.shape[0] // 8) * 8
-    budget_rows = max(512, (450 * 1024) // (u_pad * 4))
+    # no fixed floor: a 512-row floor with a wide neighbour table (u_pad >
+    # ~225 on strongly adaptive trees) would blow the budget and overflow
+    # the 1 MB SMEM; let the chunk fall to small powers of two instead
+    budget_rows = max(8, (450 * 1024) // (u_pad * 4))
     chunk = 1 << (budget_rows.bit_length() - 1)
     chunk = min(chunk, r)
     nc = r // chunk
@@ -634,10 +637,10 @@ class FmmTree:
         # one extra padding row (index nsl) with empty mask for chunk padding
         src_idx = np.zeros((nsl + 1, smax), np.int64)
         src_mask = np.zeros((nsl + 1, smax), bool)
-        for i in range(nsl):
-            lo, hi = t.leaf_offsets[i], t.leaf_offsets[i + 1]
-            src_idx[i, : hi - lo] = np.arange(lo, hi)
-            src_mask[i, : hi - lo] = True
+        if nsl:
+            sm = np.arange(smax)[None, :] < counts[:, None]
+            src_idx[:nsl][sm] = (t.leaf_offsets[:-1, None] + np.arange(smax)[None, :])[sm]
+            src_mask[:nsl] = sm
         self.smax = smax
         self.nsl = nsl
         self._src_counts = np.concatenate([counts, [0]]).astype(np.int64)
@@ -926,61 +929,90 @@ class FmmTree:
         order = np.argsort(tinv, kind="stable")
         counts = np.bincount(tinv, minlength=tcells_u.size)
         offsets = np.concatenate([[0], np.cumsum(counts)])
+        nc = tcells_u.size
 
-        # fixed bucket width: leaves holding more targets span several rows
+        def _concat_ranges(starts, lens):
+            """Vectorised concat of [arange(s, s+l) for s, l in zip(...)]."""
+            total = int(lens.sum())
+            if total == 0:
+                return np.zeros(0, np.int64)
+            off = np.cumsum(lens) - lens
+            return (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(off, lens)
+                + np.repeat(starts, lens)
+            )
+
+        # fixed bucket width: leaves holding more targets span several rows.
+        # All row tables are built with vectorised repeat/cumsum idioms —
+        # the per-leaf Python loops this replaces were O(10^4-10^5)
+        # iterations per new target set at 1M-3M targets.
         tmax = self._tmax
-        rows = []
-        row_cell = []
-        for i in range(tcells_u.size):
-            lo, hi = offsets[i], offsets[i + 1]
-            for start in range(lo, hi, tmax):
-                rows.append(order[start : min(start + tmax, hi)])
-                row_cell.append(int(tcells_u[i]))
+        nrow_per_cell = -(-counts // tmax)
+        ntl = int(nrow_per_cell.sum())
+        # per row: its cell (as index into tcells_u), rank within the cell
+        rcell = np.repeat(np.arange(nc), nrow_per_cell)
+        rrank = _concat_ranges(np.zeros(nc, np.int64), nrow_per_cell)
+        rstart = offsets[rcell] + rrank * tmax
+        rlen = np.minimum(counts[rcell] - rrank * tmax, tmax)
 
-        ntl = len(rows)
         ntl_pad = self._hwm_pad("ntl", ntl)
         # int32 indices: the (ntl_pad, T) table is 67 MB in i64 at 3M points
         tgt_idx = np.zeros((ntl_pad, tmax), np.int32)
         tgt_mask = np.zeros((ntl_pad, tmax), bool)
         tcells_pad = np.zeros(ntl_pad, np.int64)
-        for i, idxs in enumerate(rows):
-            tgt_idx[i, : idxs.size] = idxs
-            tgt_mask[i, : idxs.size] = True
-            tcells_pad[i] = row_cell[i]
+        slot = np.arange(tmax)
+        rmask = slot[None, :] < rlen[:, None]  # (ntl, tmax)
+        gpos = rstart[:, None] + slot[None, :]
+        tgt_idx[:ntl][rmask] = order[gpos[rmask]]
+        tgt_mask[:ntl] = rmask
+        tcells_pad[:ntl] = tcells_u[rcell]
 
         # --- per-CELL concatenated source / node index lists --------------
+        # One flat array + per-cell offsets each, in tcells_u order.
         t = self.tree
         loff = t.leaf_offsets
-        cell_src_concat = {}
-        cell_node_concat = {}
-        cell_nbr_rows = {}
         nnodes = self.nnodes
-        for cell in tcells_u:
-            lohi = np.searchsorted(self._u_sorted[:, 0], [cell, cell + 1])
-            scat = self._u_sorted[lohi[0] : lohi[1], 1]
-            srows = self.cell_to_src_row[scat]
-            srows = srows[srows >= 0]
-            cell_nbr_rows[int(cell)] = srows
-            parts = [np.arange(loff[r], loff[r + 1]) for r in srows]
-            cell_src_concat[int(cell)] = (
-                np.concatenate(parts) if parts else np.zeros(0, np.int64)
-            )
-            lohi = np.searchsorted(self._w_sorted[:, 0], [cell, cell + 1])
-            wcat = self._w_sorted[lohi[0] : lohi[1], 1]
-            wcat = wcat[t.has_points[wcat]]
-            if wcat.size:
-                cell_node_concat[int(cell)] = (
-                    wcat[:, None] * nnodes + np.arange(nnodes)[None, :]
-                ).reshape(-1)
-            else:
-                cell_node_concat[int(cell)] = np.zeros(0, np.int64)
+        leaf_counts = np.diff(loff)
 
-        def build_groups(concat_map, kind):
+        # u list -> neighbour source-leaf rows per cell (flat)
+        lo_u = np.searchsorted(self._u_sorted[:, 0], tcells_u)
+        hi_u = np.searchsorted(self._u_sorted[:, 0], tcells_u, side="right")
+        pair_pos = _concat_ranges(lo_u, hi_u - lo_u)
+        pair_cell = np.repeat(np.arange(nc), hi_u - lo_u)
+        srows_all = self.cell_to_src_row[self._u_sorted[pair_pos, 1]]
+        keep = srows_all >= 0
+        flat_srows = srows_all[keep]
+        srow_cell = pair_cell[keep]
+        nbr_cnt_c = np.bincount(srow_cell, minlength=nc)
+        nbr_off_c = np.cumsum(nbr_cnt_c) - nbr_cnt_c
+
+        # concat of each neighbour leaf's point range, grouped by cell
+        src_lens = leaf_counts[flat_srows]
+        flat_src = _concat_ranges(loff[flat_srows], src_lens)
+        width_src_c = np.zeros(nc, np.int64)
+        np.add.at(width_src_c, srow_cell, src_lens)
+        srcoff_c = np.cumsum(width_src_c) - width_src_c
+
+        # w list -> Chebyshev-node ids per cell (flat)
+        lo_w = np.searchsorted(self._w_sorted[:, 0], tcells_u)
+        hi_w = np.searchsorted(self._w_sorted[:, 0], tcells_u, side="right")
+        wpos = _concat_ranges(lo_w, hi_w - lo_w)
+        wcell = np.repeat(np.arange(nc), hi_w - lo_w)
+        wcat_all = self._w_sorted[wpos, 1]
+        wkeep = t.has_points[wcat_all]
+        flat_nodes = _concat_ranges(
+            wcat_all[wkeep] * nnodes, np.full(int(wkeep.sum()), nnodes, np.int64)
+        )
+        width_node_c = np.bincount(wcell[wkeep], minlength=nc) * nnodes
+        nodeoff_c = np.cumsum(width_node_c) - width_node_c
+
+        def build_groups(flat, width_c, off_c, kind):
             """Group rows by pow2 width class; build padded index tables."""
-            widths = np.array([concat_map[c].size for c in row_cell], np.int64)
+            widths = width_c[rcell]  # per row (rows of one cell share width)
             groups = []
             meta = []
-            for w_class in sorted({int(_next_pow2(max(w, 1))) for w in widths if w > 0}):
+            for w_class in sorted({int(_next_pow2(max(int(w), 1))) for w in np.unique(widths) if w > 0}):
                 sel = np.nonzero(
                     (widths > 0)
                     & (np.maximum(widths, 1) <= w_class)
@@ -1009,10 +1041,11 @@ class FmmTree:
                 rsel[: sel.size] = sel
                 tab = np.zeros((g, w_class), np.int32)
                 mask = np.zeros((g, w_class), bool)
-                for j, ri in enumerate(sel):
-                    cc = concat_map[row_cell[ri]]
-                    tab[j, : cc.size] = cc
-                    mask[j, : cc.size] = True
+                w_sel = widths[sel]
+                cmask = np.arange(w_class)[None, :] < w_sel[:, None]
+                pos = off_c[rcell[sel]][:, None] + np.arange(w_class)[None, :]
+                tab[: sel.size][cmask] = flat[pos[cmask]]
+                mask[: sel.size] = cmask
                 groups.append((rsel, tab, mask))
                 meta.append((w_class, chunk_scan, chunk_pallas))
             return tuple(groups), tuple(meta)
@@ -1022,8 +1055,8 @@ class FmmTree:
         # per width class). They upload lazily on the first scan-path call
         # (gradients / CPU backends / forced-off Pallas). M2P tables ship
         # to the device right away — adaptive trees read them each matvec.
-        p2p_groups_host, p2p_meta = build_groups(cell_src_concat, "p2p")
-        m2p_groups_host, m2p_meta = build_groups(cell_node_concat, "m2p")
+        p2p_groups_host, p2p_meta = build_groups(flat_src, width_src_c, srcoff_c, "p2p")
+        m2p_groups_host, m2p_meta = build_groups(flat_nodes, width_node_c, nodeoff_c, "m2p")
         m2p_groups = tuple(
             tuple(jnp.asarray(a) for a in grp) for grp in m2p_groups_host
         )
@@ -1031,12 +1064,12 @@ class FmmTree:
         # Per-row u-list leaf-tile table for the gather-free Pallas P2P:
         # (U, ntl_pad) int32, TRANSPOSED for SMEM (see p2p_leaf_pairs),
         # sentinel nsl = the zero-weight padding tile.
-        u_max = max((r.size for r in cell_nbr_rows.values()), default=0)
-        u_max = max(u_max, 1)
+        u_max = max(int(nbr_cnt_c.max()) if nc else 0, 1)
         nbr_tab = np.full((ntl_pad, u_max), self.nsl, np.int32)
-        for i, cell in enumerate(row_cell):
-            rowsnb = cell_nbr_rows[cell]
-            nbr_tab[i, : rowsnb.size] = rowsnb
+        nbr_cnt_row = nbr_cnt_c[rcell]
+        nmask = np.arange(u_max)[None, :] < nbr_cnt_row[:, None]
+        npos = nbr_off_c[rcell][:, None] + np.arange(u_max)[None, :]
+        nbr_tab[:ntl][nmask] = flat_srows[npos[nmask]]
 
         n_pad = self._hwm_pad("n", n)
         targets_pad = np.zeros((n_pad, targets.shape[1]))
@@ -1145,7 +1178,10 @@ class FmmTree:
         a single device-queue entry — intended for the solver hot loop where
         weights, values and residuals all live in HBM. ``precision="f32"``
         runs the M2L/P2P/M2P contractions in float32 (~1e-6 relative), the
-        inner mode of the mixed-precision refined solver; "f64" is exact.
+        inner mode of the mixed-precision refined solver. ``precision="f64"``
+        is bit-exact f64 on CPU backends; on TPU backends it routes to the
+        df64 split-precision tier (~1e-13 relative — see docs/precision.md).
+        Set ``FERREUS_RBF_TPU_PALLAS=0`` to force true f64 end to end.
         """
         binned = self._target_cache[reuse_key]
         if precision == "f64":

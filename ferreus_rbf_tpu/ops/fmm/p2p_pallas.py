@@ -186,35 +186,50 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
         planes.append(s)  # bf16-representable by construction
         sigma = sigma * jnp.float32(1.0 / 256.0)
 
-    # --- exact split dots, diagonal-wise f32 combine, df64 accumulate ----
+    # --- exact split dots, diagonal-wise df64 combine, df64 accumulate ---
     # Both operands hold bf16-representable values, so an f32 dot at
-    # DEFAULT precision (one bf16 MXU pass, f32 accumulation) is exact.
-    # The dot runs WEIGHTS-major, output (nrhs, T): with T on the lane
-    # axis Mosaic lowers any nrhs (an (T, nrhs=1) output hit "only
-    # constant accumulators supported"), and the caller needs no RHS
-    # padding — 8x less w-plane memory for single-RHS solves.
+    # DEFAULT precision (one bf16 MXU pass, f32 accumulation) is exact
+    # for contractions of <= 256 terms (16-bit products + 8 carry bits =
+    # the 24-bit f32 significand). Leaves can exceed 256 points (uniform
+    # trees cap depth, adaptive trees settle oversized cells at
+    # MAXIMUM_LEVEL, max_points_per_cell is user-settable), so the S axis
+    # is chunked to <= 256 and segment partials accumulate in df64 — same
+    # scheme as ``df64.ozaki_dot``. The dot runs WEIGHTS-major, output
+    # (nrhs, T): with T on the lane axis Mosaic lowers any nrhs (an
+    # (T, nrhs=1) output hit "only constant accumulators supported"), and
+    # the caller needs no RHS padding — 8x less w-plane memory for
+    # single-RHS solves.
+    s_len = planes[0].shape[1]
+    nseg = -(-s_len // 256)
     acc_h = None
     acc_l = None
     for k in range(keep):
-        diag = None
+        diag_h = None
+        diag_l = None
         for i in range(min(k + 1, nsl)):
             j = k - i
             if j >= nsl:
                 continue
-            part = jax.lax.dot_general(
-                wp_ref[0, j].astype(jnp.float32),
-                planes[i],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )  # (nrhs, T)
-            diag = part if diag is None else diag + part
-        if diag is None:
+            for seg in range(nseg):
+                lo_s = seg * 256
+                hi_s = min(lo_s + 256, s_len)
+                part = jax.lax.dot_general(
+                    wp_ref[0, j, :, lo_s:hi_s].astype(jnp.float32),
+                    planes[i][:, lo_s:hi_s],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (nrhs, T), exact
+                if diag_h is None:
+                    diag_h, diag_l = part, jnp.zeros_like(part)
+                else:
+                    diag_h, diag_l = dd.add(diag_h, diag_l, part, jnp.zeros_like(part))
+        if diag_h is None:
             continue
         if acc_h is None:
-            acc_h, acc_l = diag, jnp.zeros_like(diag)
+            acc_h, acc_l = diag_h, diag_l
         else:
-            acc_h, acc_l = dd.add(acc_h, acc_l, diag, jnp.zeros_like(diag))
+            acc_h, acc_l = dd.add(acc_h, acc_l, diag_h, diag_l)
 
     @pl.when(u == 0)
     def _():

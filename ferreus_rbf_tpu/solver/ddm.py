@@ -487,6 +487,38 @@ class DDMTree:
             )
         return out  # device array; callers pull to host only when needed
 
+    def coarse_device_arrays(self):
+        """Device-resident coarse solve data for the fused FGMRES cycle.
+
+        Returns (arrays, k, solve_for_poly) with arrays = {idx, q_top, chol,
+        a_special, inv_special} as device arrays, or None when the coarse
+        factorisation fell back to LDL (numerically indefinite — the fused
+        path is then unavailable and callers keep the host loop).
+        """
+        dom: Domain = self.levels[-1].coarse_domain
+        if not dom.is_spd:
+            return None
+        k = dom.num_special
+        nc = dom.num_points
+        arrays = {
+            "idx": jnp.asarray(dom.overlapping_point_indices),
+            "chol": jnp.asarray(dom.cholesky_lower()),
+            "q_top": jnp.asarray(
+                dom.q_matrix_top if dom.q_matrix_top is not None
+                else np.zeros((0, nc))
+            ),
+            "a_special": jnp.asarray(
+                dom.a_special_points_rows if dom.a_special_points_rows is not None
+                else np.zeros((k, nc))
+            ),
+            "inv_special": jnp.asarray(
+                scipy.linalg.lu_solve(dom._special_point_lu, np.eye(k))
+                if dom._special_point_lu is not None
+                else np.zeros((k, k))
+            ),
+        }
+        return arrays, k, dom.solve_for_poly
+
     def solve_coarse(self, residual, add_poly: bool):
         """Direct coarse solve; optionally returns the polynomial tail.
 

@@ -158,9 +158,46 @@ def iterative_fit(rbfi):
     point_coefficients = np.zeros((n, num_cols))
     poly_coefficients = np.zeros((m, num_cols)) if m else None
 
+    # Device-resident restart cycles (lax.while_loop inner loop, one host
+    # transfer per restart) whenever the whole preconditioner is traceable;
+    # env override FERREUS_RBF_TPU_FUSED=0 keeps the per-iteration host loop.
+    import os
+
+    fs = None
+    if params.solver_type == Solvers.FGMRES and os.environ.get(
+        "FERREUS_RBF_TPU_FUSED", "1"
+    ) not in ("0", "false", "False"):
+        from . import fused as fused_mod
+
+        fs_try = fused_mod.FusedSystem(system)
+        if fs_try.ok:
+            fs = fs_try
+
     for col in range(num_cols):
         b = jnp.asarray(rhs[:, col : col + 1])
-        if params.solver_type == Solvers.FGMRES:
+        if fs is not None:
+            from . import fused as fused_mod
+
+            if params.mixed_precision:
+                sol = fused_mod.refined_fgmres_fused(
+                    fs,
+                    b,
+                    max_outer_iterations=20,
+                    max_inner_iterations=5,
+                    tolerance=settings.fitting_accuracy,
+                    callback=rbfi.progress_callback,
+                )
+            else:
+                sol = fused_mod.fgmres_fused(
+                    fs,
+                    b,
+                    prec=fs.f64_prec,
+                    max_outer_iterations=20,
+                    max_inner_iterations=5,
+                    tolerance=settings.fitting_accuracy,
+                    callback=rbfi.progress_callback,
+                )
+        elif params.solver_type == Solvers.FGMRES:
             if params.mixed_precision:
                 sol = solvers.refined_fgmres_device(
                     system.matvec,

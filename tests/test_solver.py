@@ -336,3 +336,53 @@ def test_f32_matvec_accuracy_and_refined_convergence():
     # refined solve reached 1e-9 measured in f64
     resid = np.max(np.abs(rbfi.evaluate_at_source(True) - vals))
     assert resid < 5e-9, resid
+
+
+def test_fused_fgmres_matches_host_loop_fit():
+    """The fused device-resident restart cycle (lax.while_loop inner loop,
+    one host transfer per restart — solver/fused.py) must reproduce the
+    per-iteration host-loop fit on the same system: both converge to the
+    fitting tolerance and agree to preconditioner-noise level."""
+    import os
+
+    rng = np.random.default_rng(21)
+    pts = rng.random((1500, 3))
+    vals = np.sin(4 * pts[:, 0]) * np.cos(3 * pts[:, 1]) + 0.5 * pts[:, 2]
+    settings = frt.InterpolantSettings(
+        kernel_type=frt.RBFKernelType.ThinPlateSpline,
+        fitting_accuracy=FittingAccuracy(1e-6, FittingAccuracyType.Relative),
+    )
+    params = Params(
+        ddm_params=DDMParams(leaf_threshold=128, coarse_ratio=0.5,
+                             coarse_threshold=400),
+        naive_solve_threshold=0,  # force the iterative path
+    )
+
+    from ferreus_rbf_tpu.solver import fused as fused_mod
+
+    seen = {}
+    orig_init = fused_mod.FusedSystem.__init__
+
+    def spy(self, system):
+        orig_init(self, system)
+        seen["ok"] = self.ok
+
+    fused_mod.FusedSystem.__init__ = spy
+    try:
+        r_fused = frt.RBFInterpolator(pts, vals, settings, params)
+        assert seen.get("ok") is True  # the fused path actually ran
+        os.environ["FERREUS_RBF_TPU_FUSED"] = "0"
+        r_host = frt.RBFInterpolator(pts, vals, settings, params)
+    finally:
+        fused_mod.FusedSystem.__init__ = orig_init
+        os.environ.pop("FERREUS_RBF_TPU_FUSED", None)
+
+    scale = float(np.max(np.abs(vals)))
+    for r in (r_fused, r_host):
+        resid = float(np.max(np.abs(r.evaluate_at_source(add_nugget=True) - vals)))
+        assert resid < 1e-5 * scale
+    c_f = r_fused.coefficients.point_coefficients
+    c_h = r_host.coefficients.point_coefficients
+    # both are tolerance-converged solutions of the same SPD system; they
+    # agree far below the data scale (not bitwise: CGS2 vs while-loop order)
+    assert float(np.max(np.abs(c_f - c_h))) < 1e-2 * float(np.max(np.abs(c_h)) + 1)
