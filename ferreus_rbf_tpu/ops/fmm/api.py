@@ -454,20 +454,34 @@ def _leaf_all(
         # bucket the weights once (nsl * smax * nrhs elements — tiny next
         # to the row-table gathers this path replaces)
         w_tiles = jnp.where(
-            dev["src_bucket_mask"][..., None],
-            w_sorted[dev["src_bucket_idx"]].astype(jnp.float32),
+            dev["src_tile_mask"][..., None],
+            w_sorted[dev["src_tile_idx"]].astype(jnp.float32),
             jnp.float32(0.0),
         ).transpose(0, 2, 1)
-        (vals,) = _chunk_pair_rows(
-            lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_pairs(
-                t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
-            (tpts.astype(jnp.float32),), nbr_tab,
-        )
+        # slab kernel: in-kernel gather of the whole u-list into one wide
+        # VMEM dot per row (~1.9x the per-pair grid, measured); fall back
+        # to the (R, U) pair grid when the double-buffered slab would not
+        # leave VMEM headroom (u_max * smax_pad too large)
+        u_max = nbr_tab.shape[0]
+        nrhs_p = -(-w_tiles.shape[1] // 8) * 8
+        slab_bytes = 2 * (8 + nrhs_p) * u_max * dev["src_tiles"].shape[2] * 4
+        if slab_bytes <= (6 << 20):
+            (vals,) = _chunk_pair_rows(
+                lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_slab(
+                    t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
+                (tpts.astype(jnp.float32),), nbr_tab,
+            )
+        else:
+            (vals,) = _chunk_pair_rows(
+                lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_pairs(
+                    t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
+                (tpts.astype(jnp.float32),), nbr_tab,
+            )
         vals_b = vals_b + vals.astype(jnp.float64)
     elif pallas_df and nbr_tab is not None:
         w_tiles64 = jnp.where(
-            dev["src_bucket_mask"][..., None],
-            w_sorted[dev["src_bucket_idx"]],
+            dev["src_tile_mask"][..., None],
+            w_sorted[dev["src_tile_idx"]],
             0.0,
         ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
         planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
@@ -823,20 +837,30 @@ class FmmTree:
             resh2 = lambda a: jnp.asarray(a.reshape((m_pad // pc, pc) + a.shape[1:]))
             p2l = (resh2(tgt_t), resh2(srcr_t), resh2(ctr_t2), resh2(len_t2))
 
-        # Static bucketed source-coordinate tiles (nsl+1, d, smax) for the
-        # gather-free Pallas near field, stored as an (hi, lo) f32 pair of
-        # the f64 coordinates (the hi plane doubles as the f32 kernel's
+        # Static bucketed source-coordinate tiles (nsl+1, 8, smax_pad) for
+        # the gather-free Pallas near field, stored as an (hi, lo) f32 pair
+        # of the f64 coordinates (the hi plane doubles as the f32 kernel's
         # input). Tile L = nsl is the zero-weight sentinel neighbour.
         # Padded slots sit at the tree centre — phi is finite there for
         # every registry kernel and the zero weight kills the contribution.
-        tiles64 = np.zeros((nsl + 1, d, self.smax), np.float64)
-        tiles64[:nsl] = np.where(
+        # The sublane axis pads d -> 8 and the lane axis smax -> a multiple
+        # of 128: the slab kernel's manual DMA slices must be tile-aligned.
+        smax_pad = -(-self.smax // 128) * 128
+        tiles64 = np.zeros((nsl + 1, 8, smax_pad), np.float64)
+        tiles64[:nsl, :d, : self.smax] = np.where(
             self.src_bucket_mask[:nsl, None, :],
             (self.points_sorted - center)[self.src_bucket_idx[:nsl]].transpose(0, 2, 1),
             0.0,
         )
         src_tiles = tiles64.astype(np.float32)
         src_tiles_lo = (tiles64 - src_tiles.astype(np.float64)).astype(np.float32)
+        self.smax_pad = smax_pad
+        # lane-padded bucket index/mask for building the matching weight
+        # tiles each matvec (int32: n < 2^31)
+        tile_idx = np.zeros((nsl + 1, smax_pad), np.int32)
+        tile_mask = np.zeros((nsl + 1, smax_pad), bool)
+        tile_idx[:, : self.smax] = self.src_bucket_idx
+        tile_mask[:, : self.smax] = self.src_bucket_mask
 
         self._dev = {
             "point_order": jnp.asarray(self.tree.point_order),
@@ -845,6 +869,8 @@ class FmmTree:
             "src_bucket_mask": src_bucket_mask,
             "src_tiles": jnp.asarray(src_tiles),
             "src_tiles_lo": jnp.asarray(src_tiles_lo),
+            "src_tile_idx": jnp.asarray(tile_idx),
+            "src_tile_mask": jnp.asarray(tile_mask),
             "src_leaf_cells": jnp.asarray(self.src_leaf_cells),
             "p2m_scan": p2m_scan,
             "m2m_ops": jnp.asarray(self.m2m_ops),

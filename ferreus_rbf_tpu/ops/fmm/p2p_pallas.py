@@ -255,29 +255,35 @@ def _fused_rows_kernel(nbr_ref, cnt_ref, t_ref, s_hbm, w_hbm, o_ref,
     """
     i = pl.program_id(0)
     nu = cnt_ref[i]
-    t, _ = t_ref.shape[1], t_ref.shape[2]
     nrhs = o_ref.shape[2]
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
 
     def start(slot, u):
+        # index literals must be i32: under x64 a bare 0/1 lowers to i64
+        # and Mosaic's memref_slice rejects it
         l = nbr_ref[u, i]
-        pltpu.make_async_copy(s_hbm.at[l], s_scr.at[slot], sems.at[slot, 0]).start()
-        pltpu.make_async_copy(w_hbm.at[l], w_scr.at[slot], sems.at[slot, 1]).start()
+        pltpu.make_async_copy(s_hbm.at[l], s_scr.at[slot], sems.at[slot, zero]).start()
+        pltpu.make_async_copy(w_hbm.at[l], w_scr.at[slot], sems.at[slot, one]).start()
 
     @pl.when(nu > 0)
     def _():
-        start(0, 0)
+        start(jnp.int32(0), jnp.int32(0))
 
-    def body(u, acc):
-        slot = u % 2
-        nxt = (u + 1) % 2
+    def body(u, carry):
+        # the buffer slot is carried and flipped explicitly: a `u % 2` on
+        # the induction variable trips a promotion recursion in the kernel
+        # tracer under x64
+        acc, slot = carry
+        nxt = one - slot
 
-        @pl.when(u + 1 < nu)
+        @pl.when(u + one < nu)
         def _():
-            start(nxt, u + 1)
+            start(nxt, u + one)
 
         l = nbr_ref[u, i]
-        pltpu.make_async_copy(s_hbm.at[l], s_scr.at[slot], sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(w_hbm.at[l], w_scr.at[slot], sems.at[slot, 1]).wait()
+        pltpu.make_async_copy(s_hbm.at[l], s_scr.at[slot], sems.at[slot, zero]).wait()
+        pltpu.make_async_copy(w_hbm.at[l], w_scr.at[slot], sems.at[slot, one]).wait()
         tcol = t_ref[0, :, 0:1]
         srow = s_scr[slot, 0:1, :]
         dd = tcol - srow
@@ -286,16 +292,18 @@ def _fused_rows_kernel(nbr_ref, cnt_ref, t_ref, s_hbm, w_hbm, o_ref,
             dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, :]
             r2 = r2 + dd * dd
         kmat = phi_r2(r2)
-        return acc + jax.lax.dot_general(
+        acc = acc + jax.lax.dot_general(
             kmat,
             w_scr[slot],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        return acc, nxt
 
-    acc = jax.lax.fori_loop(
-        0, nu, body, jnp.zeros((t_ref.shape[1], nrhs), jnp.float32)
+    acc, _ = jax.lax.fori_loop(
+        0, nu, body,
+        (jnp.zeros((t_ref.shape[1], nrhs), jnp.float32), jnp.int32(0)),
     )
     o_ref[0] = acc
 
@@ -309,6 +317,12 @@ def p2p_leaf_fused(tgt_tiles, src_coords_t, src_w_t, nbr_tab, nbr_cnt,
     (L+1, nrhs, S) zero-weight padded; nbr_tab (U, R) int32 (transposed,
     see :func:`p2p_leaf_pairs`); nbr_cnt (R,) int32 true neighbour counts.
     Returns (R, T, nrhs) f32.
+
+    Manual DMA slices must be tile-aligned (Mosaic rejects a (1, 3, S)
+    slice of an (L, 3, S) f32 memref: sublane dim not a multiple of the
+    (8, 128) tiling), so the sublane axes are padded here — d up to 8 and
+    nrhs up to a multiple of 8; the pad rows cost nothing (zero weights,
+    finite phi) and the output is sliced back.
     """
     from .. import kernels as _k
 
@@ -316,6 +330,12 @@ def p2p_leaf_fused(tgt_tiles, src_coords_t, src_w_t, nbr_tab, nbr_cnt,
     _, dd_, s = src_coords_t.shape
     nrhs = src_w_t.shape[1]
     u = nbr_tab.shape[0]
+    d_pad = 8
+    nrhs_pad = -(-nrhs // 8) * 8
+    if dd_ < d_pad:
+        src_coords_t = jnp.pad(src_coords_t, ((0, 0), (0, d_pad - dd_), (0, 0)))
+    if nrhs < nrhs_pad:
+        src_w_t = jnp.pad(src_w_t, ((0, 0), (0, nrhs_pad - nrhs), (0, 0)))
     phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
     body = functools.partial(_fused_rows_kernel, phi_r2=phi, d=d, u_max=u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -323,22 +343,22 @@ def p2p_leaf_fused(tgt_tiles, src_coords_t, src_w_t, nbr_tab, nbr_cnt,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((1, t, d), lambda i, nbr, cnt: (i, i * 0, i * 0), memory_space=_VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # leaf coords stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # leaf weights stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # leaf coords stay off-pipeline
+            pl.BlockSpec(memory_space=pl.ANY),  # leaf weights stay off-pipeline
         ],
         out_specs=pl.BlockSpec(
-            (1, t, nrhs), lambda i, nbr, cnt: (i, i * 0, i * 0), memory_space=_VMEM
+            (1, t, nrhs_pad), lambda i, nbr, cnt: (i, i * 0, i * 0), memory_space=_VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, dd_, s), jnp.float32),
-            pltpu.VMEM((2, nrhs, s), jnp.float32),
+            pltpu.VMEM((2, d_pad, s), jnp.float32),
+            pltpu.VMEM((2, nrhs_pad, s), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, t, nrhs_pad), jnp.float32),
         interpret=interpret,
     )(
         nbr_tab,
@@ -347,6 +367,142 @@ def p2p_leaf_fused(tgt_tiles, src_coords_t, src_w_t, nbr_tab, nbr_cnt,
         src_coords_t.astype(jnp.float32),
         src_w_t.astype(jnp.float32),
     )
+    return out[..., :nrhs] if nrhs_pad != nrhs else out
+
+
+def _slab_rows_kernel(nbr_ref, t_ref, s_hbm, w_hbm, o_ref, s_scr, w_scr,
+                      sems, *, phi_r2, d, u_max, s_leaf):
+    """One grid step = one target row: the row's whole u-list is DMA-
+    gathered into a contiguous (d, U*S) VMEM slab (double-buffered across
+    grid steps), then ONE wide phi + dot pair runs per row.
+
+    This recovers the pre-gathered row kernel's throughput (measured ~12 ms
+    vs ~22.5 ms for per-(row, leaf) dots at config-2 scale — small MXU dots
+    are issue-latency-bound) without the multi-hundred-MB XLA gather the
+    row tables needed: the gather happens on-chip, overlapped with compute.
+    Sentinel neighbours DMA the zero-weight pad tile — no count needed.
+    """
+    i = pl.program_id(0)
+    r_tot = pl.num_programs(0)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = one - slot
+    s_leaf_c = jnp.int32(s_leaf)
+
+    def dma_pair(row, sl, u):
+        l = nbr_ref[u, row]
+        off = jax.lax.mul(u, s_leaf_c)
+        return (
+            pltpu.make_async_copy(
+                s_hbm.at[l], s_scr.at[sl, :, pl.ds(off, s_leaf)],
+                sems.at[sl, u, zero],
+            ),
+            pltpu.make_async_copy(
+                w_hbm.at[l], w_scr.at[sl, :, pl.ds(off, s_leaf)],
+                sems.at[sl, u, one],
+            ),
+        )
+
+    def issue(row, sl):
+        # carry an i32 counter instead of the fori induction var: under x64
+        # the induction var is i64 and any conversion/arithmetic on it trips
+        # a promotion recursion inside the kernel tracer
+        def one_u(_i, u32):
+            a, b = dma_pair(row, sl, u32)
+            a.start()
+            b.start()
+            return u32 + one
+
+        jax.lax.fori_loop(0, u_max, one_u, zero)
+
+    @pl.when(i == 0)
+    def _():
+        issue(jnp.int32(0), slot)
+
+    @pl.when(i + 1 < r_tot)
+    def _():
+        issue(i + one, nxt)
+
+    def waitall(_i, u32):
+        a, b = dma_pair(i, slot, u32)
+        a.wait()
+        b.wait()
+        return u32 + one
+
+    jax.lax.fori_loop(0, u_max, waitall, zero)
+
+    tcol = t_ref[0, :, 0:1]
+    srow = s_scr[slot, 0:1, :]
+    dd = tcol - srow
+    r2 = dd * dd
+    for k in range(1, d):
+        dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, :]
+        r2 = r2 + dd * dd
+    kmat = phi_r2(r2)  # (T, U*S)
+    o_ref[0] = jax.lax.dot_general(
+        kmat,
+        w_scr[slot],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "interpret"))
+def p2p_leaf_slab(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams,
+                  interpret=False):
+    """Near-field pass: in-kernel slab gather + one wide dot per row.
+
+    tgt_tiles (R, T, d) f32; src_coords_t (L+1, d_pad, S) with d_pad a
+    multiple of 8 and S a multiple of 128 (DMA slices must be tile-
+    aligned); src_w_t (L+1, nrhs, S) zero-weight padded incl. the sentinel
+    row L; nbr_tab (U, R) int32 sentinel-padded. Returns (R, T, nrhs) f32.
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_tiles.shape
+    _, d_pad, s = src_coords_t.shape
+    nrhs = src_w_t.shape[1]
+    u = nbr_tab.shape[0]
+    if d_pad % 8 or s % 128:
+        raise ValueError(f"slab kernel needs aligned tiles, got ({d_pad}, {s})")
+    nrhs_pad = -(-nrhs // 8) * 8
+    if nrhs < nrhs_pad:
+        src_w_t = jnp.pad(src_w_t, ((0, 0), (0, nrhs_pad - nrhs), (0, 0)))
+    phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
+    body = functools.partial(
+        _slab_rows_kernel, phi_r2=phi, d=d, u_max=u, s_leaf=s
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, nrhs_pad), lambda i, nbr: (i, i * 0, i * 0), memory_space=_VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d_pad, u * s), jnp.float32),
+            pltpu.VMEM((2, nrhs_pad, u * s), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, u, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, t, nrhs_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        nbr_tab,
+        tgt_tiles.astype(jnp.float32),
+        src_coords_t.astype(jnp.float32),
+        src_w_t.astype(jnp.float32),
+    )
+    return out[..., :nrhs] if nrhs_pad != nrhs else out
 
 
 @functools.partial(jax.jit, static_argnames=("kparams", "nsl", "keep", "interpret"))

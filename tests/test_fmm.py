@@ -312,12 +312,17 @@ def test_pallas_near_field_matches_scan():
 
     orig = pp.p2p_rows
     orig_pairs = pp.p2p_leaf_pairs
+    orig_slab = pp.p2p_leaf_slab
     pp.p2p_rows = functools.partial(
         jax.jit(orig.__wrapped__, static_argnames=("kparams", "interpret")),
         interpret=True,
     )
     pp.p2p_leaf_pairs = functools.partial(
         jax.jit(orig_pairs.__wrapped__, static_argnames=("kparams", "interpret")),
+        interpret=True,
+    )
+    pp.p2p_leaf_slab = functools.partial(
+        jax.jit(orig_slab.__wrapped__, static_argnames=("kparams", "interpret")),
         interpret=True,
     )
     try:
@@ -335,6 +340,7 @@ def test_pallas_near_field_matches_scan():
     finally:
         pp.p2p_rows = orig
         pp.p2p_leaf_pairs = orig_pairs
+        pp.p2p_leaf_slab = orig_slab
     err = np.max(np.abs(v_pal - v_scan)) / np.max(np.abs(v_scan))
     assert err < 1e-5, err
 
