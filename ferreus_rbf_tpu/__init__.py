@@ -41,7 +41,11 @@ _cache_dir = _os.environ.get(
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERY program: on tunneled/remote runtimes even sub-second
+    # compiles cost an HTTP round trip with seconds of variance, so the
+    # usual "don't cache trivial programs" heuristic is wrong here.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 

@@ -369,22 +369,24 @@ class DDMTree:
                 if hi - lo < nb_chunk:
                     sel = np.concatenate([sel, np.zeros(nb_chunk - (hi - lo), np.int64)])
                 chunks.append(
-                    np.asarray(
-                        _factor_bucket(
-                            jnp.asarray(pts_b[sel]),
-                            jnp.asarray(mask[sel]),
-                            jnp.asarray(q_top[sel]),
-                            kparams=kparams,
-                            nugget=nugget,
-                            k=k,
-                            dtype=self.factor_dtype,
-                        )
+                    _factor_bucket(
+                        jnp.asarray(pts_b[sel]),
+                        jnp.asarray(mask[sel]),
+                        jnp.asarray(q_top[sel]),
+                        kparams=kparams,
+                        nugget=nugget,
+                        k=k,
+                        dtype=self.factor_dtype,
                     )[: hi - lo]
                 )
-            chol = np.concatenate(chunks, axis=0)
-            if np.any(np.isnan(chol)):
+            # Factors stay device-resident: pulling (nb, S, S) to host just
+            # for the NaN check costs D2H + H2D of the whole factor set on
+            # tunneled runtimes. One scalar any-NaN reduction decides.
+            chol = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+            if bool(jnp.any(jnp.isnan(chol))):
                 # numerically indefinite bucket: re-factor the offending
                 # domains on the host with the LDL fallback (``domain.rs:63``)
+                chol = np.array(chol)  # writable host copy for the rescue
                 bad = np.nonzero(np.isnan(chol).any(axis=(1, 2)))[0]
                 chol = self._host_refactor(plans, chol, bad, k)
             bucket = {
@@ -410,8 +412,10 @@ class DDMTree:
         pad = (-nb) % sp
         if pad:
             for key, a in bucket.items():
-                a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                xp = jnp if isinstance(a, jnp.ndarray) else np
+                a = xp.concatenate([a, xp.repeat(a[:1], pad, axis=0)])
                 if key == "internal":
+                    a = np.asarray(a)
                     a[nb:] = False
                 bucket[key] = a
         if sp > 1:

@@ -23,6 +23,7 @@ import numpy as np
 from ..config import Solvers
 from ..ops.fmm.api import FmmTree
 from ..ops.polynomials import evaluate_monomials
+from ..utils.telemetry import traced_stage
 from . import fgmres as solvers
 from .ddm import DDMTree
 from .schwarz import schwarz_preconditioner
@@ -39,15 +40,17 @@ class DeviceSystem:
         self.m = settings.basis_size
         self.settings = settings
 
-        self.fmm_tree = FmmTree(
-            points,
-            params.fmm_params.interpolation_order,
-            settings.kernel_params(),
-            adaptive_tree=True,
-            sparse=True,
-            params=params.fmm_params,
-        )
-        self.fmm_tree.prepare_targets(points, "__all__")
+        with traced_stage("fmm_tree_build"):
+            self.fmm_tree = FmmTree(
+                points,
+                params.fmm_params.interpolation_order,
+                settings.kernel_params(),
+                adaptive_tree=True,
+                sparse=True,
+                params=params.fmm_params,
+            )
+        with traced_stage("prepare_targets_all"):
+            self.fmm_tree.prepare_targets(points, "__all__")
 
         self.monomial_matrix = None
         self.monomial_dev = None
@@ -73,30 +76,32 @@ class DeviceSystem:
         factor_dtype = (
             _jnp.float32 if params.precond_factor_dtype == "f32" else _jnp.float64
         )
-        self.ddm_tree = DDMTree(
-            points, settings, params.ddm_params, rbfi.global_trend,
-            factor_dtype=factor_dtype,
-        )
+        with traced_stage("ddm_tree_build"):
+            self.ddm_tree = DDMTree(
+                points, settings, params.ddm_params, rbfi.global_trend,
+                factor_dtype=factor_dtype,
+            )
 
         # per-level target binnings + device index arrays for the restricted
         # matvecs the Schwarz sweep issues
-        self._level_idx = {}
-        n = points.shape[0]
-        for i, level in enumerate(self.ddm_tree.levels[:-1]):
-            idx = level.point_indices
-            if idx.size == n and np.array_equal(idx, np.arange(n)):
-                # level 0's active set IS all points: reuse the "__all__"
-                # binning instead of duplicating ~400 MB of target tables
-                # at 3M points
-                self.fmm_tree._target_cache[("lvl", i)] = (
-                    self.fmm_tree._target_cache["__all__"]
-                )
-            else:
-                self.fmm_tree.prepare_targets(points[idx], ("lvl", i))
-            self._level_idx[i] = jnp.asarray(idx)
-        coarse_idx = self.ddm_tree.levels[-1].point_indices
-        self.fmm_tree.prepare_targets(points[coarse_idx], ("lvl", "coarse"))
-        self._level_idx["coarse"] = jnp.asarray(coarse_idx)
+        with traced_stage("prepare_targets_levels"):
+            self._level_idx = {}
+            n = points.shape[0]
+            for i, level in enumerate(self.ddm_tree.levels[:-1]):
+                idx = level.point_indices
+                if idx.size == n and np.array_equal(idx, np.arange(n)):
+                    # level 0's active set IS all points: reuse the "__all__"
+                    # binning instead of duplicating ~400 MB of target tables
+                    # at 3M points
+                    self.fmm_tree._target_cache[("lvl", i)] = (
+                        self.fmm_tree._target_cache["__all__"]
+                    )
+                else:
+                    self.fmm_tree.prepare_targets(points[idx], ("lvl", i))
+                self._level_idx[i] = jnp.asarray(idx)
+            coarse_idx = self.ddm_tree.levels[-1].point_indices
+            self.fmm_tree.prepare_targets(points[coarse_idx], ("lvl", "coarse"))
+            self._level_idx["coarse"] = jnp.asarray(coarse_idx)
 
         self.nugget = settings.nugget
 
@@ -148,7 +153,8 @@ def iterative_fit(rbfi):
     params = rbfi.params
     num_cols = values.shape[1]
 
-    system = DeviceSystem(rbfi)
+    with traced_stage("system_setup"):
+        system = DeviceSystem(rbfi)
     n, m = system.n, system.m
 
     rhs = values
@@ -169,68 +175,71 @@ def iterative_fit(rbfi):
     ) not in ("0", "false", "False"):
         from . import fused as fused_mod
 
-        fs_try = fused_mod.FusedSystem(system)
+        with traced_stage("fused_system_build"):
+            fs_try = fused_mod.FusedSystem(system)
         if fs_try.ok:
             fs = fs_try
 
     for col in range(num_cols):
         b = jnp.asarray(rhs[:, col : col + 1])
-        if fs is not None:
-            from . import fused as fused_mod
-
-            if params.mixed_precision:
-                sol = fused_mod.refined_fgmres_fused(
-                    fs,
-                    b,
-                    max_outer_iterations=20,
-                    max_inner_iterations=5,
-                    tolerance=settings.fitting_accuracy,
-                    callback=rbfi.progress_callback,
-                )
-            else:
-                sol = fused_mod.fgmres_fused(
-                    fs,
-                    b,
-                    prec=fs.f64_prec,
-                    max_outer_iterations=20,
-                    max_inner_iterations=5,
-                    tolerance=settings.fitting_accuracy,
-                    callback=rbfi.progress_callback,
-                )
-        elif params.solver_type == Solvers.FGMRES:
-            if params.mixed_precision:
-                sol = solvers.refined_fgmres_device(
-                    system.matvec,
-                    system.matvec_f32,
-                    b,
-                    m=system.precon,
-                    max_outer_iterations=20,
-                    max_inner_iterations=5,
-                    tolerance=settings.fitting_accuracy,
-                    callback=rbfi.progress_callback,
-                )
-            else:
-                sol = solvers.fgmres_device(
-                    system.matvec,
-                    b,
-                    m=system.precon,
-                    max_outer_iterations=20,
-                    max_inner_iterations=5,
-                    tolerance=settings.fitting_accuracy,
-                    callback=rbfi.progress_callback,
-                )
-        else:
-            sol = solvers.schwarz_ddm_solver_device(
-                system.matvec,
-                b,
-                m=system.precon,
-                max_iterations=100,
-                tolerance=settings.fitting_accuracy,
-                callback=rbfi.progress_callback,
-            )
+        with traced_stage("solve_column"):
+            sol = _solve_one_column(rbfi, system, fs, b, settings, params)
         sol = np.asarray(sol)
         point_coefficients[:, col] = sol[:n, 0]
         if m:
             poly_coefficients[:, col] = sol[n:, 0]
 
     return Coefficients(point_coefficients, poly_coefficients)
+
+
+def _solve_one_column(rbfi, system, fs, b, settings, params):
+    if fs is not None:
+        from . import fused as fused_mod
+
+        if params.mixed_precision:
+            return fused_mod.refined_fgmres_fused(
+                fs,
+                b,
+                max_outer_iterations=20,
+                max_inner_iterations=5,
+                tolerance=settings.fitting_accuracy,
+                callback=rbfi.progress_callback,
+            )
+        return fused_mod.fgmres_fused(
+            fs,
+            b,
+            prec=fs.f64_prec,
+            max_outer_iterations=20,
+            max_inner_iterations=5,
+            tolerance=settings.fitting_accuracy,
+            callback=rbfi.progress_callback,
+        )
+    if params.solver_type == Solvers.FGMRES:
+        if params.mixed_precision:
+            return solvers.refined_fgmres_device(
+                system.matvec,
+                system.matvec_f32,
+                b,
+                m=system.precon,
+                max_outer_iterations=20,
+                max_inner_iterations=5,
+                tolerance=settings.fitting_accuracy,
+                callback=rbfi.progress_callback,
+            )
+        return solvers.fgmres_device(
+            system.matvec,
+            b,
+            m=system.precon,
+            max_outer_iterations=20,
+            max_inner_iterations=5,
+            tolerance=settings.fitting_accuracy,
+            callback=rbfi.progress_callback,
+        )
+    return solvers.schwarz_ddm_solver_device(
+        system.matvec,
+        b,
+        m=system.precon,
+        max_iterations=100,
+        tolerance=settings.fitting_accuracy,
+        callback=rbfi.progress_callback,
+    )
