@@ -423,7 +423,8 @@ def _chunk_pair_rows(call, tpts_args, nbr_tab):
 @_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "with_grads", "prec", "use_pallas", "ecs"))
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-    p2p_groups, m2p_groups, nbr_tab, inv_row, inv_slot, *, kparams, d, p, n_pad,
+    p2p_groups, m2p_groups, nbr_tab, wtab, upairs, inv_row, inv_slot,
+    *, kparams, d, p, n_pad,
     p2p_meta, m2p_meta, with_grads, prec="f64", use_pallas=False, ecs=1024,
 ):
     """The whole leaf pass as ONE compiled program.
@@ -465,7 +466,9 @@ def _leaf_all(
         u_max = nbr_tab.shape[0]
         nrhs_p = -(-w_tiles.shape[1] // 8) * 8
         slab_bytes = 2 * (8 + nrhs_p) * u_max * dev["src_tiles"].shape[2] * 4
-        if slab_bytes <= (6 << 20):
+        # u_max <= 64: the slab kernel's (2, U, 2) DMA semaphore scratch
+        # lives in the 2 KB sflag space — 64 neighbours is its ceiling
+        if slab_bytes <= (6 << 20) and u_max <= 64:
             (vals,) = _chunk_pair_rows(
                 lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_slab(
                     t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
@@ -487,12 +490,22 @@ def _leaf_all(
         planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
         w_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nsl+1, 6, nrhs, S)
         th, tl = df64_mod.from_f64(tpts)
-        oh, ol = _chunk_pair_rows(
-            lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
-                t_args[0], t_args[1], dev["src_tiles"], dev["src_tiles_lo"],
-                w_planes, nbr_c, kparams=kparams),
-            (th, tl), nbr_tab,
-        )
+        if upairs is not None:
+            # sorted pair-list kernel: one grid step per true (row, leaf)
+            # pair — skips the dense grid's sentinel steps (adaptive trees
+            # have skewed u-list fill)
+            pru, ptu, pfu = upairs
+            oh, ol = p2p_pallas.p2p_pairlist_df64(
+                th, tl, dev["src_tiles"], dev["src_tiles_lo"],
+                w_planes, pru, ptu, pfu, kparams=kparams,
+            )
+        else:
+            oh, ol = _chunk_pair_rows(
+                lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
+                    t_args[0], t_args[1], dev["src_tiles"], dev["src_tiles_lo"],
+                    w_planes, nbr_c, kparams=kparams),
+                (th, tl), nbr_tab,
+            )
         # kernel output is (R, nrhs, T): weights-major so nrhs needs no pad
         vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
     else:
@@ -507,21 +520,74 @@ def _leaf_all(
             if with_grads:
                 grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
-    # M2P over concatenated w-cell Chebyshev-node tables
-    mult_flat = mult.reshape(-1, mult.shape[-1])
-    for (rows, nidx_tab, nmask_tab), (w_class, c_scan, c_pal) in zip(m2p_groups, m2p_meta):
-        # the row kernel keeps a (T, w_class) phi tile in VMEM: big width
-        # classes (observed 65536 on the albatite adaptive tree) must take
-        # the scan path or the kernel overruns the 16 MB VMEM
-        pal_ok = pallas_nf and tpts.shape[1] * w_class <= (1 << 20)
-        vals, grads = _near_field_class(
-            kernel, kparams, pal_ok, with_grads, ct,
-            tpts, tgt_mask, dev["cell_nodes_flat"], mult_flat, rows, nidx_tab, nmask_tab,
-            c_pal if pal_ok else c_scan,
-        )
-        vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
-        if with_grads:
-            grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
+    # M2P: on the Pallas route each w-list cell is a source TILE of its p^d
+    # Chebyshev nodes with the cell's multipole coefficients as weights —
+    # the same slab/pair kernels as P2P, driven by the (U_w, R) cell-tile
+    # table. Multipole tiles rebuild per matvec by one contiguous gather
+    # (no node-index scatter/gather tables on this path at all).
+    if (pallas_nf or pallas_df) and wtab is not None:
+        # ((U_w, R) tile table, (R,) counts, sorted pair list rows/tiles/first)
+        wtab, wcnt, prows, ptiles, pfirst = wtab
+        nw = dev["node_tiles"].shape[0] - 1
+        s_node = dev["node_tiles"].shape[2]
+        nnodes = mult.shape[1]
+        nrhs = mult.shape[2]
+        mgather = mult[dev["wtile_cells"]].transpose(0, 2, 1)  # (nw, nrhs, p^d)
+        if pallas_nf:
+            mtiles = jnp.zeros((nw + 1, nrhs, s_node), jnp.float32)
+            mtiles = mtiles.at[:nw, :, :nnodes].set(mgather.astype(jnp.float32))
+            # count-aware kernel: w-list sizes are highly SKEWED (most target
+            # leaves have none, frontier leaves have dozens), so the in-kernel
+            # loop that skips sentinel neighbours beats the dense (R, U) grid
+            (mvals,) = _chunk_pair_rows(
+                lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_fused(
+                    t_args[0], dev["node_tiles"], mtiles, nbr_c, t_args[1],
+                    kparams=kparams),),
+                (tpts.astype(jnp.float32), wcnt), wtab,
+            )
+            vals_b = vals_b + mvals.astype(jnp.float64)
+        else:
+            mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
+            mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
+            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), 6)
+            m_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nw+1, 6, nrhs, s_node)
+            th, tl = df64_mod.from_f64(tpts)
+            # pair-list kernel when the (rows, tiles, first) prefetch triple
+            # fits SMEM: one grid step per TRUE pair instead of the dense
+            # (R, U_w) grid — w-list fill is skewed, so sentinel steps would
+            # dominate (measured 2x slower than even the f64 scan on the
+            # albatite tree at U_w = 128)
+            if prows.shape[0] * 12 <= (700 << 10):
+                oh, ol = p2p_pallas.p2p_pairlist_df64(
+                    th.astype(jnp.float32), tl.astype(jnp.float32),
+                    dev["node_tiles"], dev["node_tiles_lo"],
+                    m_planes, prows, ptiles, pfirst, kparams=kparams,
+                )
+            else:
+                oh, ol = _chunk_pair_rows(
+                    lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
+                        t_args[0], t_args[1], dev["node_tiles"], dev["node_tiles_lo"],
+                        m_planes, nbr_c, kparams=kparams),
+                    (th, tl), wtab,
+                )
+            vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
+    else:
+        # M2P over concatenated w-cell Chebyshev-node tables (gradients /
+        # CPU backends / forced-off Pallas)
+        mult_flat = mult.reshape(-1, mult.shape[-1])
+        for (rows, nidx_tab, nmask_tab), (w_class, c_scan, c_pal) in zip(m2p_groups, m2p_meta):
+            # the row kernel keeps a (T, w_class) phi tile in VMEM: big width
+            # classes (observed 65536 on the albatite adaptive tree) must take
+            # the scan path or the kernel overruns the 16 MB VMEM
+            pal_ok = pallas_nf and tpts.shape[1] * w_class <= (1 << 20)
+            vals, grads = _near_field_class(
+                kernel, kparams, pal_ok, with_grads, ct,
+                tpts, tgt_mask, dev["cell_nodes_flat"], mult_flat, rows, nidx_tab, nmask_tab,
+                c_pal if pal_ok else c_scan,
+            )
+            vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
+            if with_grads:
+                grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
     return _unbucket_impl(
         inv_row, inv_slot, vals_b, grads_b, n_pad=n_pad, d=d, with_grads=with_grads
@@ -532,8 +598,8 @@ def _leaf_all(
 @_partial(jax.jit, static_argnames=("kparams", "d", "p", "n_pad", "p2p_meta", "m2p_meta", "prec", "use_pallas", "ecs"))
 def _matvec_fused(
     dev, weights, targets, tgt_idx, tgt_mask, tcells, p2p_groups, m2p_groups,
-    nbr_tab, inv_row, inv_slot, *, kparams, d, p, n_pad, p2p_meta, m2p_meta, prec,
-    use_pallas=False, ecs=1024
+    nbr_tab, wtab, upairs, inv_row, inv_slot, *, kparams, d, p, n_pad, p2p_meta,
+    m2p_meta, prec, use_pallas=False, ecs=1024
 ):
     """Upward + downward + leaf pass as ONE program (one queue entry over
     the host->device link per solver matvec)."""
@@ -541,7 +607,8 @@ def _matvec_fused(
     local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
     vals, _ = _leaf_all(
         dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
-        p2p_groups, m2p_groups, nbr_tab, inv_row, inv_slot, kparams=kparams,
+        p2p_groups, m2p_groups, nbr_tab, wtab, upairs, inv_row, inv_slot,
+        kparams=kparams,
         d=d, p=p, n_pad=n_pad, p2p_meta=p2p_meta, m2p_meta=m2p_meta,
         with_grads=False, prec=prec, use_pallas=use_pallas, ecs=ecs,
     )
@@ -903,6 +970,38 @@ class FmmTree:
 
         self._dev["nodes_t"] = jnp.asarray(self.nodes_t)
 
+        # --- M2P cell-node tiles for the Pallas near field ----------------
+        # Adaptive trees evaluate w-list cells' multipoles directly at the
+        # targets (``bbfmm.rs:1254`` M2P); the Pallas route treats each such
+        # cell as a source tile of its p^d Chebyshev nodes — same kernels as
+        # P2P, with the cell's multipole coefficients as the weights. Only
+        # cells that appear in any w-list get a tile; the sentinel row nw is
+        # the zero-weight pad. Multipole tiles are rebuilt per matvec from
+        # ``mult`` by one small gather (cells are node-contiguous).
+        wc = self._w_sorted[:, 1]
+        wc = np.unique(wc[self.tree.has_points[wc]]) if wc.size else wc
+        nw = int(wc.size)
+        self._m2p_nw = nw
+        self._cell_to_wtile = None
+        if nw:
+            s_node = -(-self.nnodes // 128) * 128
+            node_xyz = np.asarray(
+                cheb.scale_nodes_to_cell(
+                    self.nodes_nd, cell_centers_c[wc], self.cell_lengths[wc]
+                )
+            )  # (nw, nnodes, d)
+            nt64 = np.zeros((nw + 1, 8, s_node))
+            nt64[:nw, :d, : self.nnodes] = node_xyz.transpose(0, 2, 1)
+            node_tiles = nt64.astype(np.float32)
+            self._dev["node_tiles"] = jnp.asarray(node_tiles)
+            self._dev["node_tiles_lo"] = jnp.asarray(
+                (nt64 - node_tiles.astype(np.float64)).astype(np.float32)
+            )
+            self._dev["wtile_cells"] = jnp.asarray(wc)
+            cmap = np.full(self.tree.num_cells, nw, np.int32)
+            cmap[wc] = np.arange(nw, dtype=np.int32)
+            self._cell_to_wtile = cmap
+
     # ---------------------------------------------------------- weights
     @property
     def source_points(self) -> np.ndarray:
@@ -922,7 +1021,8 @@ class FmmTree:
         self._local = _downward(self._dev, self._multipole, self._weights_sorted, kparams=self.kernel_params, prec=self._f64_prec)
 
     # --------------------------------------------------------- evaluation
-    _HWM_FLOORS = {"ntl": 32, "nchunks": 2, "m2p": 128, "n": 1024}
+    _HWM_FLOORS = {"ntl": 32, "nchunks": 2, "m2p": 128, "n": 1024, "m2p_u": 4,
+                   "m2p_pairs": 64, "p2p_pairs": 64}
 
     def _hwm_pad(self, key: str, n: int) -> int:
         """Monotonic high-water-mark padding: shapes only ever grow (to the
@@ -1076,16 +1176,60 @@ class FmmTree:
                 meta.append((w_class, chunk_scan, chunk_pallas))
             return tuple(groups), tuple(meta)
 
-        # P2P scan tables stay HOST-side: the Pallas route never reads
+        # P2P/M2P scan tables stay HOST-side: the Pallas route never reads
         # them and they are GB-scale at 1M+ points (rows x w_class int32
         # per width class). They upload lazily on the first scan-path call
-        # (gradients / CPU backends / forced-off Pallas). M2P tables ship
-        # to the device right away — adaptive trees read them each matvec.
+        # (gradients / CPU backends / forced-off Pallas).
         p2p_groups_host, p2p_meta = build_groups(flat_src, width_src_c, srcoff_c, "p2p")
         m2p_groups_host, m2p_meta = build_groups(flat_nodes, width_node_c, nodeoff_c, "m2p")
-        m2p_groups = tuple(
-            tuple(jnp.asarray(a) for a in grp) for grp in m2p_groups_host
-        )
+
+        # Per-row w-list cell-tile table for the Pallas M2P ((U_w, ntl_pad)
+        # int32, transposed for SMEM like nbr_tab; sentinel = the zero tile).
+        wtab_t = None
+        if self._cell_to_wtile is not None:
+            wcells_flat = wcat_all[wkeep]
+            wcell_grp = wcell[wkeep]
+            wcnt_c = np.bincount(wcell_grp, minlength=nc)
+            if wcnt_c.size and wcnt_c.max() > 0:
+                woff_c = np.cumsum(wcnt_c) - wcnt_c
+                uw_max = self._hwm_pad("m2p_u", int(wcnt_c.max()))
+                wtab = np.full((ntl_pad, uw_max), self._m2p_nw, np.int32)
+                wcnt_row = wcnt_c[rcell]
+                wmask = np.arange(uw_max)[None, :] < wcnt_row[:, None]
+                wpos2 = woff_c[rcell][:, None] + np.arange(uw_max)[None, :]
+                wtab[:ntl][wmask] = self._cell_to_wtile[wcells_flat[wpos2[wmask]]]
+                wcnt_pad = np.zeros(ntl_pad, np.int32)
+                wcnt_pad[:ntl] = wcnt_row
+                # sorted (row, tile) pair list for the df64 M2P kernel: one
+                # sentinel pair per row (initialises every output block) +
+                # the true pairs; pads ride on the last row's sentinel
+                rows_true = np.repeat(np.arange(ntl, dtype=np.int64), wcnt_row)
+                pos_true = _concat_ranges(woff_c[rcell], wcnt_row)
+                tiles_true = self._cell_to_wtile[wcells_flat[pos_true]]
+                prows = np.concatenate(
+                    [np.arange(ntl_pad, dtype=np.int64), rows_true]
+                )
+                ptiles = np.concatenate(
+                    [np.full(ntl_pad, self._m2p_nw, np.int64), tiles_true]
+                )
+                order_p = np.argsort(prows, kind="stable")
+                prows = prows[order_p]
+                ptiles = ptiles[order_p]
+                npairs = self._hwm_pad("m2p_pairs", prows.size)
+                pr = np.full(npairs, ntl_pad - 1, np.int32)
+                pr[: prows.size] = prows
+                pt = np.full(npairs, self._m2p_nw, np.int32)
+                pt[: prows.size] = ptiles
+                pf = np.zeros(npairs, np.int32)
+                pf[0] = 1
+                pf[1 : prows.size] = prows[1:] != prows[:-1]
+                wtab_t = (
+                    jnp.asarray(np.ascontiguousarray(wtab.T)),
+                    jnp.asarray(wcnt_pad),
+                    jnp.asarray(pr),
+                    jnp.asarray(pt),
+                    jnp.asarray(pf),
+                )
 
         # Per-row u-list leaf-tile table for the gather-free Pallas P2P:
         # (U, ntl_pad) int32, TRANSPOSED for SMEM (see p2p_leaf_pairs),
@@ -1096,6 +1240,31 @@ class FmmTree:
         nmask = np.arange(u_max)[None, :] < nbr_cnt_row[:, None]
         npos = nbr_off_c[rcell][:, None] + np.arange(u_max)[None, :]
         nbr_tab[:ntl][nmask] = flat_srows[npos[nmask]]
+
+        # Sorted u-list (row, leaf-tile) pair list for the df64 P2P kernel
+        # (same scheme as the M2P pair list); built only when the prefetch
+        # triple fits SMEM — large trees keep the dense (R, U) grid, whose
+        # fill is near-uniform there anyway.
+        upairs_t = None
+        total_u = int(nbr_cnt_row.sum())
+        if (ntl_pad + total_u) * 12 <= (700 << 10):
+            rows_u = np.repeat(np.arange(ntl, dtype=np.int64), nbr_cnt_row)
+            pos_u = _concat_ranges(nbr_off_c[rcell], nbr_cnt_row)
+            tiles_u = flat_srows[pos_u]
+            pru = np.concatenate([np.arange(ntl_pad, dtype=np.int64), rows_u])
+            ptu = np.concatenate([np.full(ntl_pad, self.nsl, np.int64), tiles_u])
+            order_u = np.argsort(pru, kind="stable")
+            pru = pru[order_u]
+            ptu = ptu[order_u]
+            npu = self._hwm_pad("p2p_pairs", pru.size)
+            pru_p = np.full(npu, ntl_pad - 1, np.int32)
+            pru_p[: pru.size] = pru
+            ptu_p = np.full(npu, self.nsl, np.int32)
+            ptu_p[: pru.size] = ptu
+            pfu = np.zeros(npu, np.int32)
+            pfu[0] = 1
+            pfu[1 : pru.size] = pru[1:] != pru[:-1]
+            upairs_t = (jnp.asarray(pru_p), jnp.asarray(ptu_p), jnp.asarray(pfu))
 
         n_pad = self._hwm_pad("n", n)
         targets_pad = np.zeros((n_pad, targets.shape[1]))
@@ -1119,8 +1288,10 @@ class FmmTree:
             "inv_slot": jnp.asarray(inv_slot),
             "p2p_groups_host": p2p_groups_host,
             "p2p_meta": p2p_meta,
-            "m2p_groups": m2p_groups,
+            "m2p_groups_host": m2p_groups_host,
             "m2p_meta": m2p_meta,
+            "wtab": wtab_t,
+            "upairs": upairs_t,
             "n_pad": n_pad,
             "ntargets": n,
         }
@@ -1150,27 +1321,50 @@ class FmmTree:
 
 
     def _p2p_args(self, binned, prec: str, with_grads: bool):
-        """(p2p_groups, p2p_meta) for a leaf-pass call.
+        """(p2p_groups, p2p_meta, upairs) for a leaf-pass call.
 
         The Pallas near-field route covers prec in {"f32", "df64"} without
         gradients; it never touches the scan tables, so they are omitted
-        from the program entirely (empty static meta). Scan-path callers
-        get the device copies, uploaded once per target set.
+        from the program entirely (empty static meta). The sorted u-list
+        pair triple rides along only for the df64 tier (which has the
+        pair-list kernel). Scan-path callers get the device copies,
+        uploaded once per target set.
         """
         pallas_route = (
             self._use_pallas and prec in ("f32", "df64") and not with_grads
         )
         if pallas_route:
-            return (), ()
+            return (), (), (binned["upairs"] if prec == "df64" else None)
         if "p2p_groups_dev" not in binned:
             binned["p2p_groups_dev"] = tuple(
                 tuple(jnp.asarray(a) for a in grp)
                 for grp in binned["p2p_groups_host"]
             )
-        return binned["p2p_groups_dev"], binned["p2p_meta"]
+        return binned["p2p_groups_dev"], binned["p2p_meta"], None
+
+    def _m2p_args(self, binned, prec: str, with_grads: bool):
+        """(m2p_groups, m2p_meta, wtab) for a leaf-pass call.
+
+        On the Pallas route the w-list runs through the cell-tile kernels
+        driven by ``wtab``; the node-index scan tables are omitted from the
+        program entirely. Scan-path callers get the device copies, uploaded
+        once per target set, and no wtab.
+        """
+        pallas_route = (
+            self._use_pallas and prec in ("f32", "df64") and not with_grads
+        )
+        if pallas_route:
+            return (), (), binned["wtab"]
+        if "m2p_groups_dev" not in binned:
+            binned["m2p_groups_dev"] = tuple(
+                tuple(jnp.asarray(a) for a in grp)
+                for grp in binned["m2p_groups_host"]
+            )
+        return binned["m2p_groups_dev"], binned["m2p_meta"], None
 
     def _leaf_pass_device(self, binned, with_grads: bool, prec: str = "f64"):
-        p2p_groups, p2p_meta = self._p2p_args(binned, prec, with_grads)
+        p2p_groups, p2p_meta, upairs = self._p2p_args(binned, prec, with_grads)
+        m2p_groups, m2p_meta, wtab = self._m2p_args(binned, prec, with_grads)
         return _leaf_all(
             self._dev,
             binned["targets_pad"],
@@ -1181,8 +1375,10 @@ class FmmTree:
             self._multipole,
             self._weights_sorted,
             p2p_groups,
-            binned["m2p_groups"],
+            m2p_groups,
             binned["nbr_tab"],
+            wtab,
+            upairs,
             binned["inv_row"],
             binned["inv_slot"],
             kparams=self.kernel_params,
@@ -1190,7 +1386,7 @@ class FmmTree:
             p=self.p,
             n_pad=binned["n_pad"],
             p2p_meta=p2p_meta,
-            m2p_meta=binned["m2p_meta"],
+            m2p_meta=m2p_meta,
             with_grads=with_grads,
             prec=prec,
             use_pallas=self._use_pallas,
@@ -1212,7 +1408,8 @@ class FmmTree:
         binned = self._target_cache[reuse_key]
         if precision == "f64":
             precision = self._f64_prec
-        p2p_groups, p2p_meta = self._p2p_args(binned, precision, False)
+        p2p_groups, p2p_meta, upairs = self._p2p_args(binned, precision, False)
+        m2p_groups, m2p_meta, wtab = self._m2p_args(binned, precision, False)
         vals, mult, local, wsorted = _matvec_fused(
             self._dev,
             weights_dev,
@@ -1221,8 +1418,10 @@ class FmmTree:
             binned["tgt_mask"],
             binned["tcells"],
             p2p_groups,
-            binned["m2p_groups"],
+            m2p_groups,
             binned["nbr_tab"],
+            wtab,
+            upairs,
             binned["inv_row"],
             binned["inv_slot"],
             kparams=self.kernel_params,
@@ -1230,7 +1429,7 @@ class FmmTree:
             p=self.p,
             n_pad=binned["n_pad"],
             p2p_meta=p2p_meta,
-            m2p_meta=binned["m2p_meta"],
+            m2p_meta=m2p_meta,
             prec=precision,
             use_pallas=self._use_pallas,
             ecs=int(self.params.eval_chunk_size),

@@ -146,18 +146,12 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
     )
 
 
-def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
-                      oh_ref, ol_ref, *, phi_df64, d, nsl, keep):
-    """f64-grade near-field tile: df64 distances/phi on the VPU + exact
-    bf16 split-dot contraction on the MXU (see ops/df64.py).
-
-    grid (R, U); out blocks (1, T, nrhs) x2 revisited across U with df64
-    accumulation. w planes arrive pre-sliced per leaf tile (sigma shared
-    along the source axis, as slice-product exactness requires).
-    """
+def _df64_tile_acc(th_ref, tl_ref, sh_ref, sl_ref, wp_ref, *, phi_df64, d, nsl, keep):
+    """Shared df64 near-field tile math: df64 distances/phi on the VPU +
+    exact bf16 split-dot contraction on the MXU (see ops/df64.py).
+    Returns the (nrhs, T) df64 (hi, lo) partial for one (row, tile) pair."""
     from .. import df64 as dd
 
-    u = pl.program_id(1)
     # --- r2 in df64: per-dim two_sum difference, squared and accumulated
     r2h = None
     r2l = None
@@ -230,6 +224,23 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
             acc_h, acc_l = diag_h, diag_l
         else:
             acc_h, acc_l = dd.add(acc_h, acc_l, diag_h, diag_l)
+    return acc_h, acc_l
+
+
+def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+                      oh_ref, ol_ref, *, phi_df64, d, nsl, keep):
+    """f64-grade near-field tile over the dense (R, U) pair grid.
+
+    Out blocks (1, T, nrhs) x2 revisited across U with df64 accumulation.
+    w planes arrive pre-sliced per leaf tile (sigma shared along the source
+    axis, as slice-product exactness requires)."""
+    from .. import df64 as dd
+
+    u = pl.program_id(1)
+    acc_h, acc_l = _df64_tile_acc(
+        th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+        phi_df64=phi_df64, d=d, nsl=nsl, keep=keep,
+    )
 
     @pl.when(u == 0)
     def _():
@@ -237,6 +248,37 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
         ol_ref[0] = acc_l
 
     @pl.when(u != 0)
+    def _():
+        nh, nl = dd.add(oh_ref[0], ol_ref[0], acc_h, acc_l)
+        oh_ref[0] = nh
+        ol_ref[0] = nl
+
+
+def _pairlist_kernel_df64(rows_ref, tiles_ref, first_ref, th_ref, tl_ref,
+                          sh_ref, sl_ref, wp_ref, oh_ref, ol_ref,
+                          *, phi_df64, d, nsl, keep):
+    """f64-grade near field over a SORTED (row, tile) pair list.
+
+    One grid step per true pair (plus one sentinel pair per row so every
+    output block is initialised); out blocks follow ``rows`` — consecutive
+    same-row steps accumulate in VMEM, ``first`` flags the row's first pair.
+    Beats the dense (R, U) grid when pair fill is skewed (w-lists: most
+    target leaves have none, frontier leaves have dozens)."""
+    from .. import df64 as dd
+
+    i = pl.program_id(0)
+    acc_h, acc_l = _df64_tile_acc(
+        th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+        phi_df64=phi_df64, d=d, nsl=nsl, keep=keep,
+    )
+    first = first_ref[i]
+
+    @pl.when(first != 0)
+    def _():
+        oh_ref[0] = acc_h
+        ol_ref[0] = acc_l
+
+    @pl.when(first == 0)
     def _():
         nh, nl = dd.add(oh_ref[0], ol_ref[0], acc_h, acc_l)
         oh_ref[0] = nh
@@ -550,6 +592,54 @@ def p2p_leaf_pairs_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, nbr_tab,
         ),
         interpret=interpret,
     )(nbr_tab, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "nsl", "keep", "interpret"))
+def p2p_pairlist_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, pair_rows,
+                      pair_tiles, pair_first, *, kparams, nsl=6, keep=6,
+                      interpret=False):
+    """f64-grade near field driven by a sorted (row, tile) pair list.
+
+    tgt_hi/lo (R, T, d) f32; src_hi/lo (L+1, d_pad, S) f32; w_planes
+    (L+1, nsl, nrhs, S) bf16-representable pre-sliced tiles; pair_rows /
+    pair_tiles / pair_first (P,) int32 — SORTED by row, every row 0..R-1
+    present at least once (sentinel tile L = zero weights), ``pair_first``
+    nonzero on each row's first pair. Returns (R, nrhs, T) hi/lo f32 pairs
+    (combine with ``df64.to_f64`` and swap the last axes).
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_hi.shape
+    _, dd_, s = src_hi.shape
+    nrhs = w_planes.shape[2]
+    np_ = pair_rows.shape[0]
+    phi = _k.make_phi_df64(kparams)
+    body = functools.partial(_pairlist_kernel_df64, phi_df64=phi, d=d, nsl=nsl, keep=keep)
+    z = lambda i: i * 0  # index-map literals must stay i32 (see above)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, t, d), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, dd_, s), lambda i, rw, tl, fr: (tl[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, dd_, s), lambda i, rw, tl, fr: (tl[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, nsl, nrhs, s), lambda i, rw, tl, fr: (tl[i], z(i), z(i), z(i)), memory_space=_VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nrhs, t), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, nrhs, t), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pair_rows, pair_tiles, pair_first, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)
 
 
 @functools.partial(jax.jit, static_argnames=("kparams", "interpret"))

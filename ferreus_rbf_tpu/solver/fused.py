@@ -82,20 +82,32 @@ class FusedSystem:
             arrs = {
                 k: binned[k]
                 for k in ("targets_pad", "tgt_idx", "tgt_mask", "tcells",
-                          "nbr_tab", "inv_row", "inv_slot", "m2p_groups")
+                          "nbr_tab", "inv_row", "inv_slot")
             }
             p2p_by_prec = {}
             meta_by_prec = {}
+            upairs_by_prec = {}
+            m2p_by_prec = {}
+            m2p_meta_by_prec = {}
+            wtab_by_prec = {}
             for prec in {"f32", self.f64_prec}:
-                groups, meta = tree._p2p_args(binned, prec, False)
+                groups, meta, up = tree._p2p_args(binned, prec, False)
                 p2p_by_prec[prec] = groups
                 meta_by_prec[prec] = meta
+                upairs_by_prec[prec] = up
+                mg, mm, wt = tree._m2p_args(binned, prec, False)
+                m2p_by_prec[prec] = mg
+                m2p_meta_by_prec[prec] = mm
+                wtab_by_prec[prec] = wt
             arrs["p2p_by_prec"] = p2p_by_prec
+            arrs["upairs_by_prec"] = upairs_by_prec
+            arrs["m2p_by_prec"] = m2p_by_prec
+            arrs["wtab_by_prec"] = wtab_by_prec
             state["binned"][self._k(key)] = arrs
             self._bmeta[self._k(key)] = {
                 "n_pad": binned["n_pad"],
                 "ntargets": binned["ntargets"],
-                "m2p_meta": binned["m2p_meta"],
+                "m2p_meta": m2p_meta_by_prec,
                 "p2p_meta": meta_by_prec,
             }
 
@@ -133,10 +145,11 @@ class FusedSystem:
         vals, _m, _l, _w = fmm_api._matvec_fused(
             state["dev"], wp,
             arrs["targets_pad"], arrs["tgt_idx"], arrs["tgt_mask"], arrs["tcells"],
-            arrs["p2p_by_prec"][prec], arrs["m2p_groups"], arrs["nbr_tab"],
+            arrs["p2p_by_prec"][prec], arrs["m2p_by_prec"][prec], arrs["nbr_tab"],
+            arrs["wtab_by_prec"][prec], arrs["upairs_by_prec"][prec],
             arrs["inv_row"], arrs["inv_slot"],
             kparams=self.kparams, d=self.d, p=self.p, n_pad=meta["n_pad"],
-            p2p_meta=meta["p2p_meta"][prec], m2p_meta=meta["m2p_meta"],
+            p2p_meta=meta["p2p_meta"][prec], m2p_meta=meta["m2p_meta"][prec],
             prec=prec, use_pallas=self.use_pallas, ecs=self.ecs,
         )
         return vals[: meta["ntargets"]]

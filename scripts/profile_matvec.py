@@ -67,11 +67,14 @@ def main():
     leaf = lambda use_pallas: api._leaf_all(
         dev, binned["targets_pad"], binned["tgt_idx"], binned["tgt_mask"],
         binned["tcells"], local, mult, w_sorted,
-        tree._p2p_args(binned, "f64", True)[0], binned["m2p_groups"], binned["nbr_tab"],
+        tree._p2p_args(binned, "f64", True)[0],
+        tree._m2p_args(binned, "f64", True)[0], binned["nbr_tab"],
+        binned["wtab"] if use_pallas else None,
+        None,
         binned["inv_row"], binned["inv_slot"],
         kparams=kp, d=3, p=p,
         n_pad=binned["n_pad"], p2p_meta=binned["p2p_meta"],
-        m2p_meta=binned["m2p_meta"], with_grads=False, prec=prec,
+        m2p_meta=tree._m2p_args(binned, "f64", True)[1], with_grads=False, prec=prec,
         use_pallas=use_pallas,
     )[0]
     pull(leaf(True))

@@ -345,6 +345,67 @@ def test_pallas_near_field_matches_scan():
     assert err < 1e-5, err
 
 
+def test_pallas_m2p_tiles_match_scan():
+    """Adaptive trees with non-empty w-lists run M2P through the cell-tile
+    Pallas kernels (interpret mode on CPU); results must agree with the XLA
+    node-table scan in f32, and reach df64 accuracy in the f64-grade tier."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    rng = np.random.default_rng(3)
+    # strongly clustered: dense blob + sparse background -> deep adaptive
+    # tree whose frontier cells land on target leaves' w-lists
+    blob = rng.normal(scale=0.02, size=(2000, 3)) + 0.25
+    bg = rng.random((500, 3))
+    pts = np.clip(np.concatenate([blob, bg]), 0, 1)
+    # TPS: no sqrt in phi(r^2), so the df64 check is free of the ~1e-8
+    # interpret-mode sqrt-chain artifact (see the df64 test below) and can
+    # assert true df64 accuracy
+    kp = KernelParams(KernelType.ThinPlateSplineRbf)
+    params = FmmParams(interpolation_order=4, max_points_per_cell=64,
+                       compression_type=FmmCompressionType.ACA, epsilon=1e-4)
+    tree = FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True, params=params)
+    tree.prepare_targets(pts, "src")
+    binned = tree._target_cache["src"]
+    assert tree._m2p_nw > 0 and binned["wtab"] is not None  # the point of the test
+    n_pad = binned["n_pad"]
+    w = jnp.asarray(rng.standard_normal((n_pad, 2)))
+
+    patches = {
+        "p2p_rows": ("kparams", "interpret"),
+        "p2p_leaf_pairs": ("kparams", "interpret"),
+        "p2p_leaf_slab": ("kparams", "interpret"),
+        "p2p_leaf_fused": ("kparams", "interpret"),
+        "p2p_leaf_pairs_df64": ("kparams", "nsl", "keep", "interpret"),
+        "p2p_pairlist_df64": ("kparams", "nsl", "keep", "interpret"),
+    }
+    orig = {name: getattr(pp, name) for name in patches}
+    for name, statics in patches.items():
+        setattr(pp, name, functools.partial(
+            jax.jit(orig[name].__wrapped__, static_argnames=statics),
+            interpret=True,
+        ))
+    try:
+        tree._use_pallas = False
+        v_scan_f32 = np.asarray(tree.evaluate_device(w, "src", precision="f32"))
+        v_f64 = np.asarray(tree.evaluate_device(w, "src", precision="f64"))
+        tree._use_pallas = True
+        v_pal_f32 = np.asarray(tree.evaluate_device(w, "src", precision="f32"))
+        v_pal_df = np.asarray(tree.evaluate_device(w, "src", precision="df64"))
+    finally:
+        for name, fn in orig.items():
+            setattr(pp, name, fn)
+    err32 = np.max(np.abs(v_pal_f32 - v_scan_f32)) / np.max(np.abs(v_scan_f32))
+    assert err32 < 1e-5, err32
+    errdf = np.max(np.abs(v_pal_df - v_f64)) / np.max(np.abs(v_f64))
+    assert errdf < 1e-11, errdf
+
+
 def test_eval_chunk_size_changes_chunking_not_values():
     """FmmParams.eval_chunk_size scales the leaf-pass scan chunk budgets
     (VERDICT r1: the knob must be wired, not decorative). Chunking splits
@@ -380,14 +441,15 @@ def test_pallas_df64_near_field_matches_f64(monkeypatch):
     import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
     from ferreus_rbf_tpu.ops.fmm import api as fmm_api
 
-    orig = pp.p2p_leaf_pairs_df64
-    monkeypatch.setattr(
-        pp, "p2p_leaf_pairs_df64",
-        functools.partial(
-            jax.jit(orig.__wrapped__, static_argnames=("kparams", "nsl", "keep", "interpret")),
-            interpret=True,
-        ),
-    )
+    for kname in ("p2p_leaf_pairs_df64", "p2p_pairlist_df64"):
+        monkeypatch.setattr(
+            pp, kname,
+            functools.partial(
+                jax.jit(getattr(pp, kname).__wrapped__,
+                        static_argnames=("kparams", "nsl", "keep", "interpret")),
+                interpret=True,
+            ),
+        )
     rng = np.random.default_rng(17)
     pts = rng.random((2500, 3))
     kp = KernelParams(KernelType.CubicRbf)
