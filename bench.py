@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-BUDGET = float(os.environ.get("FERREUS_BENCH_BUDGET", 2400))
+BUDGET = float(os.environ.get("FERREUS_BENCH_BUDGET", 6000))
 _T0 = time.perf_counter()
 BASELINE_PTS_PER_S = 5.3e5  # derived estimate, see module docstring
 
@@ -41,6 +41,46 @@ def _pull(x):
     import jax.numpy as jnp
 
     return float(jnp.sum(x))
+
+
+def _program_count():
+    try:
+        from ferreus_rbf_tpu.utils.telemetry import compiled_program_counts
+
+        return int(sum(compiled_program_counts().values()))
+    except Exception:
+        return -1
+
+
+def _roofline_config2(tree, binned, n, nrhs, times_s):
+    """Modeled FLOPs/bytes for the dominant matvec passes vs hardware peaks.
+
+    Near field (VPU f32): per true (target, source) point pair the kernel
+    does d sub+mul+add for r^2 (3d ops) + ~4 ops for phi (sqrt chain) +
+    2*nrhs MAC for the contraction. Far field (MXU): the M2L level einsums'
+    dot FLOPs. Peaks: v5e VPU f32 ~ 3.9 TFLOP/s (8 lanes x 128 x 4 ALUs x
+    0.94 GHz), MXU f32-accum bf16 ~ 197 TFLOP/s; achieved% is vs the VPU
+    peak (near field dominates)."""
+    nbr = np.asarray(binned["nbr_tab"])  # (U, R) leaf-tile rows, sentinel=nsl
+    tmax = binned["tgt_idx"].shape[1]
+    true_nbrs = (nbr != tree.nsl).sum()
+    s_pad = tree.smax_pad
+    pair_flops = float(true_nbrs) * tmax * s_pad * (3 * 3 + 4 + 2 * nrhs)
+    m2l_flops = 0.0
+    for u_stack, vt_stack, src_r, level_cells in tree._dev["m2l_levels"]:
+        g, pd_, k = u_stack.shape
+        c = src_r.shape[0] * src_r.shape[1]
+        m2l_flops += 2.0 * g * c * k * (pd_ + (vt_stack.shape[2] if vt_stack is not None else 0)) * nrhs
+    med = sorted(times_s)[len(times_s) // 2]
+    total = pair_flops + m2l_flops
+    return {
+        "near_field_gflop": round(pair_flops / 1e9, 2),
+        "m2l_gflop": round(m2l_flops / 1e9, 2),
+        "achieved_gflop_s": round(total / med / 1e9, 1),
+        "pct_vpu_f32_peak": round(100 * (total / med) / 3.9e12, 1),
+        "note": "modeled op counts; near field runs on the VPU (elementwise phi) "
+                "+ MXU (contraction), m2l on the MXU via bf16 split dots",
+    }
 
 
 def config2_matvec(extra):
@@ -56,29 +96,62 @@ def config2_matvec(extra):
     weights = rng.standard_normal((n, nrhs))
     params = FmmParams(interpolation_order=p, max_points_per_cell=256,
                        compression_type=FmmCompressionType.ACA, epsilon=10.0**-p)
+    t0 = time.perf_counter()
     tree = FmmTree(pts, p, KernelParams(KernelType.LinearRbf),
                    adaptive_tree=False, sparse=True, params=params)
     tree.prepare_targets(pts, "src")
+    extra["config2_plan_s"] = round(time.perf_counter() - t0, 2)
     w_dev = jnp.asarray(weights)
 
     out = {}
+    K = 8  # matvecs per timed chain
     for prec, label in (("f32", "mixedprec"), ("f64", "f64grade")):
+        t0 = time.perf_counter()
         _pull(tree.evaluate_device(w_dev, "src", precision=prec))
-        times = []
-        for i in range(9):
+        extra[f"config2_first_dispatch_{label}_s"] = round(time.perf_counter() - t0, 2)
+        # Throughput over a CHAIN of K device-resident matvecs with a
+        # serialising data dependency, one host pull per chain — exactly
+        # how the fused solver issues them. The per-dispatch tunnel
+        # latency (~25 ms on remote runtimes) is reported separately:
+        lat = []
+        for i in range(5):
             t0 = time.perf_counter()
             _pull(tree.evaluate_device(w_dev * (1.0 + 1e-15 * i), "src", precision=prec))
-            times.append(time.perf_counter() - t0)
+            lat.append(time.perf_counter() - t0)
+        extra[f"config2_single_dispatch_ms_{label}"] = round(
+            sorted(lat)[len(lat) // 2] * 1e3, 1)
+        times = []
+        for _rep in range(5):
+            t0 = time.perf_counter()
+            w = w_dev
+            for _k in range(K):
+                v = tree.evaluate_device(w, "src", precision=prec)
+                w = w_dev * (1.0 + 1e-15 * v[0, 0])
+            _pull(v)
+            times.append((time.perf_counter() - t0) / K)
         times.sort()
         out[label] = n / times[len(times) // 2]
+        if prec == "f32":
+            extra["roofline"] = _roofline_config2(
+                tree, tree._target_cache["src"], n, nrhs, times)
     extra["fmm_matvec_pts_per_s_f64grade"] = round(out["f64grade"], 1)
     return out["mixedprec"]
 
 
-def _fit_config(extra, key, pts, vals, settings, check_tol):
-    """Shared fit-config runner: cold fit wall-clock + source residual."""
+def _fit_config(extra, key, pts, vals, settings, check_tol, warm_fit=True):
+    """Shared fit-config runner.
+
+    Reports the COLD fit wall-clock (includes all tracing/compiles not
+    served by the persistent cache), a WARM re-fit at identical shapes
+    (in-process program cache hit: the steady-state cost a production
+    process pays), the compiled-program count, and the source residual.
+    ``max_residual_rel`` is the SOLVER residual re-evaluated through the
+    FMM at the sources — it includes the evaluator's FMM truncation error,
+    so it is an end-to-end figure, not the raw Krylov residual.
+    """
     import ferreus_rbf_tpu as frt
 
+    n_prog0 = _program_count()
     t0 = time.perf_counter()
     rbfi = frt.RBFInterpolator(pts, vals, settings)
     fit_s = time.perf_counter() - t0
@@ -86,13 +159,20 @@ def _fit_config(extra, key, pts, vals, settings, check_tol):
     resid = float(np.max(np.abs(rbfi.evaluate_at_source(add_nugget=True) - np.asarray(vals).reshape(-1))))
     eval_s = time.perf_counter() - t0
     rel = resid / max(float(np.max(np.abs(vals))), 1e-300)
-    extra[key] = {
+    entry = {
         "n": int(np.asarray(pts).shape[0]),
-        "fit_s": round(fit_s, 2),
+        "fit_cold_s": round(fit_s, 2),
         "eval_at_source_s": round(eval_s, 2),
+        "n_programs": _program_count() - n_prog0,
         "max_residual_rel": float(f"{rel:.3e}"),
+        "residual_kind": "solver residual re-evaluated through FMM at sources",
         "converged": bool(rel < check_tol),
     }
+    if warm_fit:
+        t0 = time.perf_counter()
+        frt.RBFInterpolator(pts, vals, settings)
+        entry["fit_warm_s"] = round(time.perf_counter() - t0, 2)
+    extra[key] = entry
     return rbfi
 
 
@@ -137,7 +217,7 @@ def config4_million(extra):
 
     pts, sd = _synthetic_sd(1_000_000)
     s = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.Linear)
-    _fit_config(extra, "config4_1m_biharmonic_fit", pts, sd, s, 1e-4)
+    _fit_config(extra, "config4_1m_biharmonic_fit", pts, sd, s, 1e-4, warm_fit=False)
 
 
 def config5_3m_rmt(extra):
@@ -145,7 +225,7 @@ def config5_3m_rmt(extra):
 
     pts, sd = _synthetic_sd(3_000_000)
     s = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.Linear)
-    rbfi = _fit_config(extra, "config5_3m_fit", pts, sd, s, 1e-3)
+    rbfi = _fit_config(extra, "config5_3m_fit", pts, sd, s, 1e-3, warm_fit=False)
     t0 = time.perf_counter()
     mesh = rbfi.build_isosurface([-1.4, -1.4, -1.4, 1.4, 1.4, 1.4], 0.02, 0.0,
                                  frt.BoundaryClosure.None_)
@@ -155,19 +235,26 @@ def config5_3m_rmt(extra):
 
 
 def main():
-    extra = {"budget_s": BUDGET, "baseline_anchor": {
+    extra = {"budget_s": BUDGET, "measurement": (
+        "headline = median over 5 chains of 8 serialised device-resident "
+        "matvecs, one host pull per chain (the fused solver's issue "
+        "pattern); per-dispatch latency incl. the tunnel round trip is in "
+        "config2_single_dispatch_ms_*"), "baseline_anchor": {
         "pts_per_s": BASELINE_PTS_PER_S,
         "provenance": "derived: numpy 1-thread P2P 1.94e7 pairs/s x4 SIMD "
                       "x64 cores x0.7 scaling; see bench.py docstring + BASELINE.md",
     }}
 
     headline = None
+    # config 5 runs EARLY (right after the headline metric): it is the
+    # flagship scale demonstration and was budget-starved in r1/r2 when it
+    # ran last. configs 1/3 are cheap; config 4 yields to 5 if tight.
     steps = [
         ("headline", lambda: config2_matvec(extra), 300),
-        ("config3", lambda: config3_albatite(extra), 300),
-        ("config1", lambda: config1_tps2d(extra), 200),
+        ("config5", lambda: config5_3m_rmt(extra), 2400),
+        ("config3", lambda: config3_albatite(extra), 400),
+        ("config1", lambda: config1_tps2d(extra), 250),
         ("config4", lambda: config4_million(extra), 900),
-        ("config5", lambda: config5_3m_rmt(extra), 1200),
     ]
     for name, fn, need in steps:
         if budget_left() < need:
