@@ -11,15 +11,19 @@ when it runs out — compile variance on the tunneled chip is seconds to
 minutes per new shape class.
 
 ``vs_baseline`` anchor (reference publishes NO numbers; BASELINE.md §
-"published" is empty): derived, not guessed —
-  measured numpy single-thread P2P on this image: 1.94e7 pairs/s;
-  assume the reference's fused Rust SIMD loop gains 4x/core and scales to
-  64 cores at 0.7 efficiency -> 3.5e9 pairs/s; config 2 has 4.8e8
-  near-field pairs + ~25% far-field time -> ~0.19 s/matvec ->
-  **5.3e5 pts/s estimated for the Rust reference on a 64-core CPU**
-  (uncertainty band ~[3e5, 1.0e6]). The previous 2.5e6 figure was an
-  unanchored guess (VERDICT r1 weak #2); derivation recorded in
-  BASELINE.md.
+"published" is empty): derived from a COMPILED measurement (round 3,
+VERDICT r2 item 7) —
+  measured on this image: fused C++ -O3 -march=native single-core P2P
+  (f64 biharmonic, 8 RHS; ferreus_rbf_tpu/native/p2p_proxy.cpp) =
+  2.1e8 pairs/s — replacing round 2's ASSUMED "numpy x4 SIMD" per-core
+  factor (the measured compiled gain over numpy is ~11-19x, so the r2
+  anchor UNDERSTATED the reference ~3x). Still assumed (the bench host
+  exposes one core): rayon scaling to the target machine's 64 cores at
+  0.7 efficiency -> 9.2e9 pairs/s. Config 2 has 4.8e8 near-field pairs
+  + ~25% far-field time -> ~0.065 s/matvec ->
+  **1.5e6 pts/s estimated for the Rust reference on a 64-core CPU**
+  (uncertainty band ~[8e5, 2.6e6]: efficiency 0.5-0.9 x per-core
+  proxy-vs-reference spread +-30%). Derivation in BASELINE.md v3.
 """
 
 import json
@@ -30,7 +34,7 @@ import numpy as np
 
 BUDGET = float(os.environ.get("FERREUS_BENCH_BUDGET", 6000))
 _T0 = time.perf_counter()
-BASELINE_PTS_PER_S = 5.3e5  # derived estimate, see module docstring
+BASELINE_PTS_PER_S = 1.5e6  # derived estimate (v3, measured compiled core)
 
 
 def budget_left():
@@ -241,8 +245,10 @@ def main():
         "pattern); per-dispatch latency incl. the tunnel round trip is in "
         "config2_single_dispatch_ms_*"), "baseline_anchor": {
         "pts_per_s": BASELINE_PTS_PER_S,
-        "provenance": "derived: numpy 1-thread P2P 1.94e7 pairs/s x4 SIMD "
-                      "x64 cores x0.7 scaling; see bench.py docstring + BASELINE.md",
+        "provenance": "derived v3: MEASURED compiled C++ 1-core fused P2P "
+                      "2.1e8 pairs/s (native/p2p_proxy.cpp, -O3 -march=native) "
+                      "x64 cores x0.7 scaling (assumed); band [8e5, 2.6e6]; "
+                      "see bench.py docstring + BASELINE.md v3",
     }}
 
     headline = None

@@ -18,7 +18,14 @@ def load_albatite():
     from ferreus_rbf_tpu import csv_to_point_arrays
 
     if os.path.exists(ALBATITE_CSV):
-        return csv_to_point_arrays(ALBATITE_CSV, has_headers=True)
+        pts, vals = csv_to_point_arrays(ALBATITE_CSV, has_headers=True)
+        # CI smoke runs subsample so every example finishes in seconds on a
+        # CPU backend; unset (the default) loads the full 35,801 points
+        cap = int(os.environ.get("FERREUS_EXAMPLES_MAX_POINTS", "0"))
+        if 0 < cap < pts.shape[0]:
+            sel = np.random.default_rng(0).choice(pts.shape[0], cap, replace=False)
+            pts, vals = pts[sel], vals[sel]
+        return pts, vals
     # fallback: signed distances to a lumpy closed surface
     rng = np.random.default_rng(42)
     n = 35_801

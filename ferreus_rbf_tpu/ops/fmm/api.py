@@ -265,7 +265,7 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
     transient is (chunk, T, p^d), not (all rows, T, p^d) — the full table
     is ~4 GB at 1M targets with p=7. ``ecs`` (FmmParams.eval_chunk_size)
     linearly scales the transient budget; 1024 is the reference default."""
-    df = prec == "df64" and not with_grads
+    df = prec == "df64"
     ct = jnp.float32 if prec == "f32" else jnp.float64
     nodes_t = dev["nodes_t"].astype(ct)
     tpts = targets[tgt_idx]
@@ -290,7 +290,11 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
             vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc)
         else:
             vals = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
-        if with_grads:
+        if with_grads and df:
+            # split-dot planes instead of the 19-pass emulated-f64 einsum:
+            # the L2P leg of the df64 gradient tier
+            grads = df64_mod.ozaki_einsum("ltdp,lpr->ltrd", dw_t, loc)
+        elif with_grads:
             grads = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
         else:
             grads = jnp.zeros(vals.shape + (d,), jnp.float64)
@@ -446,6 +450,10 @@ def _leaf_all(
     # gradients and CPU backends stay on the XLA scan.
     pallas_nf = use_pallas and prec == "f32" and not with_grads
     pallas_df = use_pallas and prec == "df64" and not with_grads
+    # f64-grade GRADIENT tier: the sorted pair-list kernels with gscale*dd
+    # contractions (needs the pair triples — _p2p_args/_m2p_args fall back
+    # to the f64 scan when they don't fit SMEM)
+    pallas_df_g = use_pallas and prec == "df64" and with_grads
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p,
         with_grads=with_grads, prec=prec, ecs=ecs
@@ -508,6 +516,24 @@ def _leaf_all(
             )
         # kernel output is (R, nrhs, T): weights-major so nrhs needs no pad
         vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
+    elif pallas_df_g and upairs is not None:
+        w_tiles64 = jnp.where(
+            dev["src_tile_mask"][..., None],
+            w_sorted[dev["src_tile_idx"]],
+            0.0,
+        ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
+        planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
+        w_planes = jnp.transpose(planes, (1, 0, 2, 3))
+        th, tl = df64_mod.from_f64(tpts)
+        pru, ptu, pfu = upairs
+        oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
+            th, tl, dev["src_tiles"], dev["src_tiles_lo"],
+            w_planes, pru, ptu, pfu, kparams=kparams,
+        )
+        vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
+        nrhs_g = oh.shape[1]
+        g = df64_mod.to_f64(goh, gol).reshape(goh.shape[0], d, nrhs_g, -1)
+        grads_b = grads_b + g.transpose(0, 3, 2, 1)  # (R, T, nrhs, d)
     else:
         # P2P over concatenated neighbour-source tables
         for (rows, sidx_tab, smask_tab), (_s_class, c_scan, c_pal) in zip(p2p_groups, p2p_meta):
@@ -525,7 +551,7 @@ def _leaf_all(
     # the same slab/pair kernels as P2P, driven by the (U_w, R) cell-tile
     # table. Multipole tiles rebuild per matvec by one contiguous gather
     # (no node-index scatter/gather tables on this path at all).
-    if (pallas_nf or pallas_df) and wtab is not None:
+    if (pallas_nf or pallas_df or pallas_df_g) and wtab is not None:
         # ((U_w, R) tile table, (R,) counts, sorted pair list rows/tiles/first)
         wtab, wcnt, prows, ptiles, pfirst = wtab
         nw = dev["node_tiles"].shape[0] - 1
@@ -546,6 +572,23 @@ def _leaf_all(
                 (tpts.astype(jnp.float32), wcnt), wtab,
             )
             vals_b = vals_b + mvals.astype(jnp.float64)
+        elif pallas_df_g:
+            # df64 gradient M2P: the multipole contraction wants the target
+            # derivative of phi(t - node), the same gscale * dd form as P2P
+            # (_m2p_args only routes here when the pair triple fits SMEM)
+            mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
+            mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
+            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), 6)
+            m_planes = jnp.transpose(planes, (1, 0, 2, 3))
+            th, tl = df64_mod.from_f64(tpts)
+            oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
+                th.astype(jnp.float32), tl.astype(jnp.float32),
+                dev["node_tiles"], dev["node_tiles_lo"],
+                m_planes, prows, ptiles, pfirst, kparams=kparams,
+            )
+            vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
+            g = df64_mod.to_f64(goh, gol).reshape(goh.shape[0], d, nrhs, -1)
+            grads_b = grads_b + g.transpose(0, 3, 2, 1)
         else:
             mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
             mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
@@ -615,6 +658,147 @@ def _matvec_fused(
     return vals, mult, local, w_sorted
 
 
+def _p2p_bucketed_xla(kernel, tpts, src_tiles, w_tiles, nbr_blk, ct, ecs):
+    """Near field over the bucketed tile layout in plain XLA.
+
+    Row-sharded twin of the Pallas pair kernels for backends/shards where
+    Pallas is unavailable (CPU meshes, the multichip dryrun): for each
+    target row gather its U neighbour tiles from the (L+1, ...) bucketed
+    tables and contract in one einsum. ``tpts`` (Rb, T, d); ``src_tiles``
+    (L+1, d, S) or (L+1, d_pad, S); ``w_tiles`` (L+1, nrhs, S) zero-weight
+    padded (incl. the sentinel row); ``nbr_blk`` (U, Rb). Returns
+    (Rb, T, nrhs) in ``ct``. Per-row reduction order is row-independent, so
+    any row partitioning of the same inputs is bitwise identical.
+    """
+    u, rb = nbr_blk.shape
+    t = tpts.shape[1]
+    d = tpts.shape[2]
+    s = src_tiles.shape[2]
+    nbr_rows = nbr_blk.T  # (Rb, U)
+
+    # bound the (c, T, U*S) phi transient like the scan paths do
+    budget = (1 << 22) * max(int(ecs), 1) // 1024
+    chunk = max(1, budget // max(t * u * s, 1))
+    chunk = 1 << (int(chunk).bit_length() - 1)
+    chunk = min(chunk, rb)
+
+    coords = src_tiles.astype(ct)
+    weights = w_tiles.astype(ct)
+
+    def body(_, sl):
+        tp, nbr_c = sl  # (c, T, d), (c, U)
+        c = tp.shape[0]
+        sp = coords[nbr_c]  # (c, U, dp, S)
+        wv = weights[nbr_c]  # (c, U, nrhs, S)
+        spc = sp.transpose(0, 2, 1, 3).reshape(c, sp.shape[2], u * s)
+        wvc = wv.transpose(0, 2, 1, 3).reshape(c, wv.shape[2], u * s)
+        r2 = None
+        for i in range(d):
+            dd = tp[:, :, i, None].astype(ct) - spc[:, i, None, :]
+            r2 = dd * dd if r2 is None else r2 + dd * dd
+        k = kernel.phi_r2(r2)  # (c, T, U*S)
+        vals = jnp.einsum("cts,crs->ctr", k, wvc)
+        return None, vals
+
+    if chunk == rb:
+        _, vals = body(None, (tpts, nbr_rows))
+        return vals
+    nc = rb // chunk
+    resh = lambda a: a.reshape((nc, chunk) + a.shape[1:])
+    _, vals = jax.lax.scan(body, None, (resh(tpts), resh(nbr_rows)))
+    return vals.reshape((rb,) + vals.shape[2:])
+
+
+@_partial(jax.jit, static_argnames=("mesh", "kparams", "d", "p", "n_pad", "prec", "ecs"))
+def _matvec_fused_sharded(
+    mesh, dev, weights, targets, tgt_idx, tgt_mask, tcells, nbr_tab, wtab,
+    inv_row, inv_slot, *, kparams, d, p, n_pad, prec, ecs=1024,
+):
+    """Upward + downward + ROW-SHARDED leaf pass as one program.
+
+    SURVEY §5.8(b): the per-iteration dominant cost — the near field (P2P +
+    M2P) and L2P over the target bucket rows — is partitioned over the
+    mesh's "sp" axis with ``jax.shard_map``; each device owns R/n_sp rows
+    of the bucketed layout (targets, neighbour-table columns, outputs) and
+    reads the replicated leaf/node tile tables. No collective is needed
+    inside the leaf pass (row outputs are disjoint); the only cross-device
+    traffic is GSPMD's gather for the final un-bucketing. The upward pass
+    and the M2L/L2L downward sweep run replicated (they are a small
+    fraction of the per-matvec cost; cf. the rayon leaf loops at
+    ``bbfmm.rs:1123-1357``).
+
+    The leaf math uses the bucketed-tile XLA formulation
+    (:func:`_p2p_bucketed_xla`), identical per row for any row partition,
+    so an n-device run is bitwise equal to the same program on one device.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    kernel = make_kernel(kparams, dtype=ct)
+    mult, w_sorted = _upward(dev, weights, prec=prec)
+    local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
+
+    # replicated weight bucketing (tiny next to the leaf pass)
+    w_tiles = jnp.where(
+        dev["src_tile_mask"][..., None],
+        w_sorted[dev["src_tile_idx"]].astype(ct),
+        ct(0.0),
+    ).transpose(0, 2, 1)  # (L+1, nrhs, S)
+
+    # multipole tiles for the M2P leg (sentinel row = zero weights)
+    if wtab is not None:
+        wtab_dense = wtab[0]
+        nw = dev["node_tiles"].shape[0] - 1
+        s_node = dev["node_tiles"].shape[2]
+        nnodes = mult.shape[1]
+        nrhs = mult.shape[2]
+        mgather = mult[dev["wtile_cells"]].transpose(0, 2, 1).astype(ct)
+        mtiles = jnp.zeros((nw + 1, nrhs, s_node), ct)
+        mtiles = mtiles.at[:nw, :, :nnodes].set(mgather)
+    else:
+        wtab_dense = None
+        mtiles = None
+
+    def leaf_block(tgt_idx_b, tgt_mask_b, tcells_b, nbr_b, wtab_b):
+        _, vals_b, _ = _l2p_impl(
+            dev, targets, tgt_idx_b, tgt_mask_b, tcells_b, local,
+            d=d, p=p, with_grads=False, prec=prec, ecs=ecs,
+        )
+        tpts_b = targets[tgt_idx_b]
+        near = _p2p_bucketed_xla(
+            kernel, tpts_b, dev["src_tiles"], w_tiles, nbr_b, ct, ecs
+        )
+        vals_b = vals_b + near.astype(jnp.float64)
+        if wtab_b is not None:
+            far = _p2p_bucketed_xla(
+                kernel, tpts_b, dev["node_tiles"], mtiles, wtab_b, ct, ecs
+            )
+            vals_b = vals_b + far.astype(jnp.float64)
+        return vals_b
+
+    row_spec = P("sp")
+    col_spec = P(None, "sp")  # (U, R) tables shard their ROW axis = columns
+    in_specs = (row_spec, row_spec, row_spec, col_spec,
+                col_spec if wtab_dense is not None else None)
+    args = (tgt_idx, tgt_mask, tcells, nbr_tab, wtab_dense)
+    if wtab_dense is None:
+        fn = lambda a, b, c, nb: leaf_block(a, b, c, nb, None)
+        in_specs = in_specs[:4]
+        args = args[:4]
+    else:
+        fn = leaf_block
+    vals_b = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=row_spec,
+        check_vma=False,
+    )(*args)
+
+    vals, _ = _unbucket_impl(
+        inv_row, inv_slot, vals_b, jnp.zeros((0,)), n_pad=n_pad, d=d,
+        with_grads=False,
+    )
+    return vals, mult, local, w_sorted
+
+
 def _unbucket_impl(inv_row, inv_slot, vals_b, grads_b, *, n_pad, d, with_grads):
     # Each target index lives in exactly one (row, slot) of the bucket
     # layout, so un-bucketing is a GATHER through the plan-time inverse
@@ -680,6 +864,15 @@ class FmmTree:
         self._weights_sorted = None
         self._target_cache = {}
         self._hwm = {}
+        # capture the active mesh (parallel.use_mesh): when its "sp" axis
+        # has >1 device the fused matvec runs the ROW-SHARDED leaf pass
+        # (SURVEY §5.8(b)) so per-device near-field work shrinks
+        from ...parallel import active_mesh, shard_axis_size
+
+        mesh = active_mesh()
+        self._mesh = (
+            mesh if mesh is not None and shard_axis_size(mesh, "sp") > 1 else None
+        )
         # fixed target-bucket width (leaves with more targets span rows)
         self._tmax = min(128, _next_pow2(max(self.smax, 8)))
         self._use_pallas = _pallas_default()
@@ -1315,8 +1508,9 @@ class FmmTree:
     def _leaf_pass(self, targets, binned, with_grads: bool):
         """Fused leaf pass; returns host arrays."""
         n = binned["ntargets"]
-        # gradients have no df64 Pallas path yet: they take the f64 scan
-        prec = "f64" if with_grads else self._f64_prec
+        # gradients ride the df64 pair-list kernels on the Pallas route
+        # (f64 scan elsewhere); values always take the tier's native prec
+        prec = self._f64_prec
         vals, grads = self._leaf_pass_device(binned, with_grads, prec=prec)
         if with_grads:
             return np.asarray(vals)[:n], np.asarray(grads)[:n]
@@ -1342,10 +1536,12 @@ class FmmTree:
         pair-list kernel). Scan-path callers get the device copies,
         uploaded once per target set.
         """
-        pallas_route = (
-            self._use_pallas and prec in ("f32", "df64") and not with_grads
-        )
-        if pallas_route:
+        if with_grads:
+            # gradient tier: the sorted-pair-list df64 kernel only (no dense
+            # grid variant) — scan fallback when the triple didn't fit SMEM
+            if self._use_pallas and prec == "df64" and binned["upairs"] is not None:
+                return (), (), binned["upairs"]
+        elif self._use_pallas and prec in ("f32", "df64"):
             return (), (), (binned["upairs"] if prec == "df64" else None)
         if "p2p_groups_dev" not in binned:
             binned["p2p_groups_dev"] = tuple(
@@ -1362,11 +1558,17 @@ class FmmTree:
         program entirely. Scan-path callers get the device copies, uploaded
         once per target set, and no wtab.
         """
-        pallas_route = (
-            self._use_pallas and prec in ("f32", "df64") and not with_grads
-        )
-        if pallas_route:
-            return (), (), binned["wtab"]
+        wtab = binned["wtab"]
+        if with_grads:
+            # gradient tier needs the pair-list kernel, whose (rows, tiles,
+            # first) prefetch triple must fit SMEM; scan fallback otherwise
+            if (
+                self._use_pallas and prec == "df64" and wtab is not None
+                and int(wtab[2].shape[0]) * 12 <= (700 << 10)
+            ):
+                return (), (), wtab
+        elif self._use_pallas and prec in ("f32", "df64"):
+            return (), (), wtab
         if "m2p_groups_dev" not in binned:
             binned["m2p_groups_dev"] = tuple(
                 tuple(jnp.asarray(a) for a in grp)
@@ -1420,6 +1622,34 @@ class FmmTree:
         binned = self._target_cache[reuse_key]
         if precision == "f64":
             precision = self._f64_prec
+        if self._mesh is not None:
+            nsp = int(self._mesh.shape["sp"])
+            if int(binned["tgt_idx"].shape[0]) % nsp == 0:
+                wtab_s = binned["wtab"]
+                vals, mult, local, wsorted = _matvec_fused_sharded(
+                    self._mesh,
+                    self._dev,
+                    weights_dev,
+                    binned["targets_pad"],
+                    binned["tgt_idx"],
+                    binned["tgt_mask"],
+                    binned["tcells"],
+                    binned["nbr_tab"],
+                    wtab_s,
+                    binned["inv_row"],
+                    binned["inv_slot"],
+                    kparams=self.kernel_params,
+                    d=self.d,
+                    p=self.p,
+                    n_pad=binned["n_pad"],
+                    prec=precision,
+                    ecs=int(self.params.eval_chunk_size),
+                )
+                self._multipole, self._local, self._weights_sorted = (
+                    mult, local, wsorted,
+                )
+                return vals[: binned["ntargets"]]
+
         p2p_groups, p2p_meta, upairs = self._p2p_args(binned, precision, False)
         m2p_groups, m2p_meta, wtab = self._m2p_args(binned, precision, False)
         vals, mult, local, wsorted = _matvec_fused(

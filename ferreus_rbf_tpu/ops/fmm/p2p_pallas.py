@@ -146,53 +146,46 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
     )
 
 
-def _df64_tile_acc(th_ref, tl_ref, sh_ref, sl_ref, wp_ref, *, phi_df64, d, nsl, keep):
-    """Shared df64 near-field tile math: df64 distances/phi on the VPU +
-    exact bf16 split-dot contraction on the MXU (see ops/df64.py).
-    Returns the (nrhs, T) df64 (hi, lo) partial for one (row, tile) pair."""
+def _df64_slice_rows(mh, ml, nsl):
+    """Slice a (T, S) df64 matrix into nsl bf16-representable planes with
+    the scale sigma shared per TARGET ROW (slice-product exactness needs
+    sigma constant along the contraction axis)."""
     from .. import df64 as dd
 
-    # --- r2 in df64: per-dim two_sum difference, squared and accumulated
-    r2h = None
-    r2l = None
-    for i in range(d):
-        th = th_ref[0, :, i : i + 1]
-        tl = tl_ref[0, :, i : i + 1]
-        sh = sh_ref[0, i : i + 1, :]
-        sl = sl_ref[0, i : i + 1, :]
-        dh, e = dd.two_sum(th, -sh)
-        dh, dl = dd.quick_two_sum(dh, e + (tl - sl))
-        qh, ql = dd.sqr(dh, dl)
-        r2h, r2l = (qh, ql) if r2h is None else dd.add(r2h, r2l, qh, ql)
-    ph, plo = phi_df64(r2h, r2l)  # (T, S) df64
-
-    # --- slice phi into nsl bf16 planes, sigma per target row ------------
-    m = jnp.max(jnp.abs(ph), axis=1, keepdims=True)
+    m = jnp.max(jnp.abs(mh), axis=1, keepdims=True)
     sigma = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(m, 1e-30))) + 1.0)
-    resid = ph
+    resid = mh
     planes = []
     for k in range(nsl):
         c = sigma * jnp.float32(1.5 * (1 << 15))
         s = (resid + c) - c
         resid = resid - s
         if k == 2:
-            resid, plo = dd.two_sum(resid, plo)
+            resid, ml = dd.two_sum(resid, ml)
         planes.append(s)  # bf16-representable by construction
         sigma = sigma * jnp.float32(1.0 / 256.0)
+    return planes
 
-    # --- exact split dots, diagonal-wise df64 combine, df64 accumulate ---
-    # Both operands hold bf16-representable values, so an f32 dot at
-    # DEFAULT precision (one bf16 MXU pass, f32 accumulation) is exact
-    # for contractions of <= 256 terms (16-bit products + 8 carry bits =
-    # the 24-bit f32 significand). Leaves can exceed 256 points (uniform
-    # trees cap depth, adaptive trees settle oversized cells at
-    # MAXIMUM_LEVEL, max_points_per_cell is user-settable), so the S axis
-    # is chunked to <= 256 and segment partials accumulate in df64 — same
-    # scheme as ``df64.ozaki_dot``. The dot runs WEIGHTS-major, output
-    # (nrhs, T): with T on the lane axis Mosaic lowers any nrhs (an
-    # (T, nrhs=1) output hit "only constant accumulators supported"), and
-    # the caller needs no RHS padding — 8x less w-plane memory for
-    # single-RHS solves.
+
+def _df64_seg_dots(planes, wp_ref, nsl, keep):
+    """Exact split dots against the prefetched w planes, diagonal-wise df64
+    combine: returns the (nrhs, T) df64 (hi, lo) partial.
+
+    Both operands hold bf16-representable values, so an f32 dot at
+    DEFAULT precision (one bf16 MXU pass, f32 accumulation) is exact
+    for contractions of <= 256 terms (16-bit products + 8 carry bits =
+    the 24-bit f32 significand). Leaves can exceed 256 points (uniform
+    trees cap depth, adaptive trees settle oversized cells at
+    MAXIMUM_LEVEL, max_points_per_cell is user-settable), so the S axis
+    is chunked to <= 256 and segment partials accumulate in df64 — same
+    scheme as ``df64.ozaki_dot``. The dot runs WEIGHTS-major, output
+    (nrhs, T): with T on the lane axis Mosaic lowers any nrhs (an
+    (T, nrhs=1) output hit "only constant accumulators supported"), and
+    the caller needs no RHS padding — 8x less w-plane memory for
+    single-RHS solves.
+    """
+    from .. import df64 as dd
+
     s_len = planes[0].shape[1]
     nseg = -(-s_len // 256)
     acc_h = None
@@ -225,6 +218,62 @@ def _df64_tile_acc(th_ref, tl_ref, sh_ref, sl_ref, wp_ref, *, phi_df64, d, nsl, 
         else:
             acc_h, acc_l = dd.add(acc_h, acc_l, diag_h, diag_l)
     return acc_h, acc_l
+
+
+def _df64_r2(th_ref, tl_ref, sh_ref, sl_ref, d, keep_diffs=False):
+    """(T, S) squared distance in df64; optionally also the per-dim df64
+    displacement matrices (t - s) the gradient contraction needs."""
+    from .. import df64 as dd
+
+    r2h = None
+    r2l = None
+    diffs = []
+    for i in range(d):
+        th = th_ref[0, :, i : i + 1]
+        tl = tl_ref[0, :, i : i + 1]
+        sh = sh_ref[0, i : i + 1, :]
+        sl = sl_ref[0, i : i + 1, :]
+        dh, e = dd.two_sum(th, -sh)
+        dh, dl = dd.quick_two_sum(dh, e + (tl - sl))
+        if keep_diffs:
+            diffs.append((dh, dl))
+        qh, ql = dd.sqr(dh, dl)
+        r2h, r2l = (qh, ql) if r2h is None else dd.add(r2h, r2l, qh, ql)
+    return r2h, r2l, diffs
+
+
+def _df64_tile_acc(th_ref, tl_ref, sh_ref, sl_ref, wp_ref, *, phi_df64, d, nsl, keep):
+    """Shared df64 near-field tile math: df64 distances/phi on the VPU +
+    exact bf16 split-dot contraction on the MXU (see ops/df64.py).
+    Returns the (nrhs, T) df64 (hi, lo) partial for one (row, tile) pair."""
+    r2h, r2l, _ = _df64_r2(th_ref, tl_ref, sh_ref, sl_ref, d)
+    ph, plo = phi_df64(r2h, r2l)  # (T, S) df64
+    planes = _df64_slice_rows(ph, plo, nsl)
+    return _df64_seg_dots(planes, wp_ref, nsl, keep)
+
+
+def _df64_tile_acc_grad(th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+                        *, phi_df64, gscale_df64, d, nsl, keep):
+    """Values AND gradients for one (row, tile) pair in df64.
+
+    grad phi at displacement dd = t - s is ``gscale(r2) * dd`` per dim, so
+    the gradient runs d extra slice+dot pipelines over G_i = gscale * dd_i.
+    Returns ((nrhs, T) hi, lo, (d*nrhs, T) hi, lo) with dims stacked along
+    the sublane axis (dim-major: row = dim * nrhs + rhs).
+    """
+    from .. import df64 as dd
+
+    r2h, r2l, diffs = _df64_r2(th_ref, tl_ref, sh_ref, sl_ref, d, keep_diffs=True)
+    ph, plo = phi_df64(r2h, r2l)
+    vh, vl = _df64_seg_dots(_df64_slice_rows(ph, plo, nsl), wp_ref, nsl, keep)
+    gh, gl = gscale_df64(r2h, r2l)
+    g_hs, g_ls = [], []
+    for dh, dl in diffs:
+        mh, ml = dd.mul(gh, gl, dh, dl)
+        ah, al = _df64_seg_dots(_df64_slice_rows(mh, ml, nsl), wp_ref, nsl, keep)
+        g_hs.append(ah)
+        g_ls.append(al)
+    return vh, vl, jnp.concatenate(g_hs, axis=0), jnp.concatenate(g_ls, axis=0)
 
 
 def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
@@ -637,6 +686,94 @@ def p2p_pairlist_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, pair_rows,
         out_shape=(
             jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
             jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pair_rows, pair_tiles, pair_first, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)
+
+
+def _pairlist_kernel_df64_grad(rows_ref, tiles_ref, first_ref, th_ref, tl_ref,
+                               sh_ref, sl_ref, wp_ref, oh_ref, ol_ref,
+                               gh_ref, gl_ref, *, phi_df64, gscale_df64, d,
+                               nsl, keep):
+    """f64-grade near field WITH GRADIENTS over a sorted (row, tile) pair
+    list (layout as :func:`_pairlist_kernel_df64`; extra out blocks
+    (1, d*nrhs, T) x2 accumulate the per-dim gradient partials)."""
+    from .. import df64 as dd
+
+    i = pl.program_id(0)
+    vh, vl, gah, gal = _df64_tile_acc_grad(
+        th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+        phi_df64=phi_df64, gscale_df64=gscale_df64, d=d, nsl=nsl, keep=keep,
+    )
+    first = first_ref[i]
+
+    @pl.when(first != 0)
+    def _():
+        oh_ref[0] = vh
+        ol_ref[0] = vl
+        gh_ref[0] = gah
+        gl_ref[0] = gal
+
+    @pl.when(first == 0)
+    def _():
+        nh, nl = dd.add(oh_ref[0], ol_ref[0], vh, vl)
+        oh_ref[0] = nh
+        ol_ref[0] = nl
+        ngh, ngl = dd.add(gh_ref[0], gl_ref[0], gah, gal)
+        gh_ref[0] = ngh
+        gl_ref[0] = ngl
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "nsl", "keep", "interpret"))
+def p2p_pairlist_df64_grad(tgt_hi, tgt_lo, src_hi, src_lo, w_planes,
+                           pair_rows, pair_tiles, pair_first, *, kparams,
+                           nsl=6, keep=6, interpret=False):
+    """f64-grade near field with gradients, sorted (row, tile) pair list.
+
+    Operand layout as :func:`p2p_pairlist_df64`. Returns
+    ``(vals_hi, vals_lo, grads_hi, grads_lo)`` with vals (R, nrhs, T) and
+    grads (R, d*nrhs, T) dim-major (row = dim * nrhs + rhs) — combine with
+    ``df64.to_f64``. The TPU tier for the reference's native-f64 gradient
+    evaluation (``bbfmm.rs:434-516``, ``rbf_kernels.rs:265-300``): RMT seed
+    projection and user gradient calls run here instead of the 19-pass
+    emulated-f64 XLA scan.
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_hi.shape
+    _, dd_, s = src_hi.shape
+    nrhs = w_planes.shape[2]
+    np_ = pair_rows.shape[0]
+    phi = _k.make_phi_df64(kparams)
+    gsc = _k.make_gscale_df64(kparams)
+    body = functools.partial(_pairlist_kernel_df64_grad, phi_df64=phi,
+                             gscale_df64=gsc, d=d, nsl=nsl, keep=keep)
+    z = lambda i: i * 0  # index-map literals must stay i32 (see above)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, t, d), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, dd_, s), lambda i, rw, tl, fr: (tl[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, dd_, s), lambda i, rw, tl, fr: (tl[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, nsl, nrhs, s), lambda i, rw, tl, fr: (tl[i], z(i), z(i), z(i)), memory_space=_VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nrhs, t), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, nrhs, t), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, d * nrhs, t), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+            pl.BlockSpec((1, d * nrhs, t), lambda i, rw, tl, fr: (rw[i], z(i), z(i)), memory_space=_VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, d * nrhs, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, d * nrhs, t), jnp.float32),
         ),
         interpret=interpret,
     )(pair_rows, pair_tiles, pair_first, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)

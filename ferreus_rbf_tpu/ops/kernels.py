@@ -413,6 +413,111 @@ def make_phi_df64(params: KernelParams):
     return phi
 
 
+def make_gscale_df64(params: KernelParams):
+    """grad_scale_r2 as a df64 closure: (r2_hi, r2_lo) -> (g_hi, g_lo).
+
+    Same formulas as the f64 ``grad`` closures above (``rbf_kernels.rs:
+    265-300``): grad phi at displacement d = t - s is ``d * g(|d|^2)``.
+    Drives the f64-grade Pallas gradient near field (the TPU replacement
+    for the reference's native-f64 gradient evaluation, ``bbfmm.rs:434``).
+    """
+    from . import df64 as dd
+
+    kt = params.kernel_type
+    eps32 = np.float32(_EPS)
+
+    def _masked(fn):
+        def g(h, l):
+            mask = h > eps32
+            hs = jnp.where(mask, h, jnp.float32(1.0))
+            ls = jnp.where(mask, l, jnp.float32(0.0))
+            vh, vl = fn(hs, ls)
+            return jnp.where(mask, vh, 0.0), jnp.where(mask, vl, 0.0)
+
+        return g
+
+    if kt == KernelType.LinearRbf:
+        # -1/r
+        def _g(h, l):
+            sh, sl = dd.sqrt(h, l)
+            rh, rl = dd.recip(sh, sl)
+            return -rh, -rl
+
+        g = _masked(_g)
+
+    elif kt == KernelType.ThinPlateSplineRbf:
+        # 2 ln r + 1 = ln(r2) + 1
+        def _g(h, l):
+            gh, gl = dd.log(h, l)
+            return dd.add(gh, gl, jnp.float32(1.0), jnp.float32(0.0))
+
+        g = _masked(_g)
+
+    elif kt == KernelType.CubicRbf:
+        # 3 r
+        def _g(h, l):
+            sh, sl = dd.sqrt(h, l)
+            return dd.mul_f32(sh, sl, jnp.float32(3.0))
+
+        g = _masked(_g)
+
+    elif kt in _SPHEROIDAL_ORDER:
+        order = _SPHEROIDAL_ORDER[kt]
+        c = SPHEROIDAL_CONSTANTS[order]
+        pw = _SPHEROIDAL_POW[order]
+        s = c.range_scaling / params.base_range
+        s2h, s2l = _df64_c(s * s)
+        ip2 = np.float32(c.inflexion_point * c.inflexion_point)
+        nsh, nsl_ = _df64_c(params.total_sill * c.linear_slope * s)
+        far_p = pw + 0.5
+        fgh, fgl = _df64_c(
+            -2.0 * far_p * (s * s) * params.total_sill * c.inv_y_intercept
+        )
+
+        def _g(h, l):
+            # near: -near_slope / r
+            rh, rl = dd.sqrt(h, l)
+            irh, irl = dd.recip(rh, rl)
+            nh, nl = dd.mul(irh, irl, jnp.full_like(h, -nsh), jnp.full_like(h, -nsl_))
+            # far: -2 p s^2 far_coef / (t^(pw+1) sqrt(t)), t = 1 + s^2 r^2
+            srh, srl = dd.mul(h, l, jnp.full_like(h, s2h), jnp.full_like(h, s2l))
+            th, tl = dd.add(srh, srl, jnp.float32(1.0), jnp.float32(0.0))
+            ph, pl = th, tl
+            for _ in range(pw):
+                ph, pl = dd.mul(ph, pl, th, tl)
+            qh, ql = dd.sqrt(th, tl)
+            dh2, dl2 = dd.mul(ph, pl, qh, ql)
+            fh, fl = dd.recip(dh2, dl2)
+            fh, fl = dd.mul(fh, fl, jnp.full_like(h, fgh), jnp.full_like(h, fgl))
+            near = srh <= ip2
+            return jnp.where(near, nh, fh), jnp.where(near, nl, fl)
+
+        g = _masked(_g)
+
+    elif kt in (KernelType.Laplacian, KernelType.OneOverR2, KernelType.OneOverR4):
+        p = {KernelType.Laplacian: 1, KernelType.OneOverR2: 2, KernelType.OneOverR4: 4}[kt]
+
+        def _g(h, l):
+            # -p / r^(p+2): r^-(p+2) = r2^-((p+2)/2)
+            q = p + 2
+            ih, il = dd.recip(h, l)
+            vh, vl = ih, il
+            for _ in range(q // 2 - 1):
+                vh, vl = dd.mul(vh, vl, ih, il)
+            if q % 2:
+                sh, sl = dd.sqrt(h, l)
+                rsh, rsl = dd.recip(sh, sl)
+                vh, vl = dd.mul(vh, vl, rsh, rsl)
+            return dd.mul_f32(vh, vl, jnp.float32(-p))
+
+        g = _masked(_g)
+
+    else:  # pragma: no cover
+        raise ValueError(f"Unknown kernel type {kt}")
+
+    return g
+
+
 def make_kernel(params: KernelParams, xp=jnp, dtype=None) -> Kernel:
     """KernelParams -> concrete kernel (mirrors ``KernelFromParams``).
 

@@ -42,8 +42,13 @@ def get_unique_seed_point_ijks(seed_points, gradient_fn, lattice, isovalue):
             break
         scale = np.where(g2 >= G2_MIN, fx / np.maximum(g2, G2_MIN), 0.0)
         upd = active[~done]
-        x[upd] -= (scale[:, None] * g)[~done]
-        np.clip(x[upd], lattice.min_corner, lattice.max_corner, out=x[upd])
+        # note: x[upd] is a fancy-indexed COPY — clip must be assigned back,
+        # an in-place out=x[upd] silently discards the clamp
+        x[upd] = np.clip(
+            x[upd] - (scale[:, None] * g)[~done],
+            lattice.min_corner,
+            lattice.max_corner,
+        )
         active = upd
 
     return {tuple(ijk) for ijk in lattice.world_to_ijk(x)}

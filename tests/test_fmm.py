@@ -125,14 +125,15 @@ def _brute_force_adjacent(tree, a, b):
     return np.all(np.abs(cb - ca) <= (la + lb) / 2 + 1e-9)
 
 
-def test_interaction_lists_brute_force():
+@pytest.mark.parametrize("adaptive,d", [(True, 2), (False, 2), (False, 3)])
+def test_interaction_lists_brute_force(adaptive, d):
     rng = np.random.default_rng(3)
-    pts = rng.random((300, 2))
+    pts = rng.random((300, d))
     center, radius = calculate_tree_center_and_radius(
         np.concatenate([pts.min(0), pts.max(0)])
     )
     tree = build_tree(pts, center, radius, 20, store_empty_leaves=True,
-                      dimensions=2, adaptive=True)
+                      dimensions=d, adaptive=adaptive)
 
     leaves = np.nonzero(tree.is_leaf)[0]
     leaf_set = set(leaves.tolist())
@@ -270,6 +271,31 @@ def test_leaf_mode_matches_full_mode():
     full = tree.evaluate(w, targets)
     leaves = tree.evaluate_leaves(w, targets)
     np.testing.assert_allclose(leaves, full, rtol=0, atol=1e-12)
+
+
+def test_evaluate_leaves_with_gradients_matches_full_mode():
+    """Leaf-mode gradients == full-mode gradients after a full downward pass
+    populated the locals (the evaluator-split path RMT seed projection uses)."""
+    rng = np.random.default_rng(21)
+    pts = rng.random((700, 3))
+    w = rng.standard_normal((700, 2))
+    kp = KernelParams(KernelType.LinearRbf)
+    tree = make_tree(pts, 5, kp, sparse=False, mppc=48)
+    tree.set_weights(w)
+    targets = rng.random((120, 3))
+    full_v, full_g = tree.evaluate_with_gradients(w, targets)
+    # the full-mode call above left self._local populated; leaf mode reuses it
+    leaf_v, leaf_g = tree.evaluate_leaves_with_gradients(w, targets)
+    np.testing.assert_allclose(leaf_v, full_v, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(leaf_g, full_g, rtol=0, atol=1e-12)
+    # and the gradients are right: finite differences on the full evaluate
+    eps = 1e-6
+    for axis in range(3):
+        tp = targets.copy(); tp[:, axis] += eps
+        tm = targets.copy(); tm[:, axis] -= eps
+        fd = (tree.evaluate(w, tp) - tree.evaluate(w, tm)) / (2 * eps)
+        got = leaf_g.reshape(120, 2, 3)[:, :, axis]
+        assert np.max(np.abs(got - fd)) < 5e-4 * max(1.0, np.max(np.abs(fd)))
 
 
 def test_evaluate_at_sources_multi_rhs():
@@ -466,6 +492,47 @@ def test_pallas_df64_near_field_matches_f64(monkeypatch):
     # real-TPU run exhibits (hardware: 1.6e-13 vs the CPU f64 oracle,
     # scripts/df64_matvec_check.py); keep the interpret-mode gate at 1e-8
     assert err < 1e-8, err
+
+
+def test_pallas_df64_gradients_match_f64(monkeypatch):
+    """The df64 gradient tier (pair-list Pallas kernels + ozaki L2P, in
+    interpret mode on CPU) must reproduce the f64-scan gradients to
+    df64 accuracy (VERDICT r2 item 5)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    monkeypatch.setattr(
+        pp, "p2p_pairlist_df64_grad",
+        functools.partial(
+            jax.jit(pp.p2p_pairlist_df64_grad.__wrapped__,
+                    static_argnames=("kparams", "nsl", "keep", "interpret")),
+            interpret=True,
+        ),
+    )
+    rng = np.random.default_rng(23)
+    pts = rng.random((2000, 3))
+    kp = KernelParams(KernelType.Spheroidal5Rbf, base_range=1.2, total_sill=0.9)
+    tree = fmm_api.FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True)
+    w = rng.standard_normal((2000, 2))
+    tree.set_weights(w)
+    targets = rng.random((400, 3))
+    v64, g64 = tree.evaluate_with_gradients(w, targets)
+    monkeypatch.setattr(tree, "_use_pallas", True)
+    monkeypatch.setattr(tree, "_f64_prec", "df64")
+    tree.set_weights(w)  # re-run upward in the df64 tier
+    vdf, gdf = tree.evaluate_with_gradients(w, targets, reuse_key="t2")
+    ve = np.max(np.abs(vdf - v64)) / np.max(np.abs(v64))
+    ge = np.max(np.abs(gdf - g64)) / np.max(np.abs(g64))
+    # 1e-7 interpret-mode gate (the spheroidal sqrt/recip chains show a
+    # ~3e-8 Pallas-INTERPRETER artifact, cf. the 6e-9 note above); the
+    # real-TPU run lands ~1e-13 (scripts/df64_grad_check.py)
+    assert ve < 1e-7, ve
+    assert ge < 1e-7, ge
 
 
 def test_f32_matvec_with_utm_scale_offsets():

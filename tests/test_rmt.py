@@ -41,6 +41,11 @@ def signed_volume(mesh):
 
 
 SEEDS = np.array([[1.0, 0.0, 0.0]])
+# Clipped-box tests (x <= 0.6) must seed ON the surface INSIDE the box:
+# per the reference contract seeds are clamped to the lattice AABB every
+# Newton step (seed_projection.rs:113-116), so a seed whose surface point
+# lies outside the box pins to the face in a non-crossing cell and dies.
+CLIP_SEEDS = np.array([[-1.0, 0.0, 0.0]])
 
 
 def test_golden_sphere():
@@ -106,14 +111,14 @@ def test_boundary_closure_volumes():
     box = (0.6 + 1.5) * 3.0 * 3.0
 
     closed_pos = build_isosurface(
-        SEEDS, extents, 0.2, 0.0, sphere_sdf, sphere_grad,
+        CLIP_SEEDS, extents, 0.2, 0.0, sphere_sdf, sphere_grad,
         ClusterMethod.CurvatureWeighted, BoundaryClosure.ClosePositive,
     )
     assert is_watertight(closed_pos)
     assert abs(signed_volume(closed_pos) - cut_sphere) < 0.1
 
     closed_neg = build_isosurface(
-        SEEDS, extents, 0.2, 0.0, sphere_sdf, sphere_grad,
+        CLIP_SEEDS, extents, 0.2, 0.0, sphere_sdf, sphere_grad,
         ClusterMethod.CurvatureWeighted, BoundaryClosure.CloseNegative,
     )
     assert is_watertight(closed_neg)
@@ -232,7 +237,7 @@ def test_closure_multi_component():
 def test_open_clip_leaves_boundary():
     extents = [-1.5, -1.5, -1.5, 0.6, 1.5, 1.5]
     mesh = build_isosurface(
-        SEEDS, extents, 0.2, 0.0, sphere_sdf, sphere_grad,
+        CLIP_SEEDS, extents, 0.2, 0.0, sphere_sdf, sphere_grad,
         ClusterMethod.CurvatureWeighted, BoundaryClosure.None_,
     )
     counts = list(edge_counts(mesh).values())

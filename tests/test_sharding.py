@@ -97,6 +97,79 @@ def test_matvec_fused_with_mesh_replicated_weights():
     assert np.array_equal(vals_plain, vals_mesh)
 
 
+def test_row_sharded_matvec_matches_single_device():
+    """SURVEY §5.8(b): the FMM matvec's leaf pass row-sharded over "sp".
+
+    Asserts (a) the sharded program at 4 devices == the same program on a
+    1-device mesh, BITWISE (row partitioning does not change per-row
+    reduction order); (b) it matches the standard unsharded matvec to f64
+    round-off; (c) the per-device compiled program does measurably less
+    work than the 1-device program (cost-analysis FLOPs shrink).
+    """
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    pts = _points(n=1600, seed=13)
+    kparams = KernelParams(KernelType.CubicRbf, base_range=1.0, total_sill=1.0)
+    params = FmmParams(
+        interpolation_order=4,
+        max_points_per_cell=64,
+        compression_type=FmmCompressionType.ACA,
+        epsilon=1e-5,
+    )
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((pts.shape[0], 2))
+
+    # standard unsharded matvec (no mesh captured)
+    tree_plain = FmmTree(pts, 4, kparams, adaptive_tree=True, sparse=True, params=params)
+    tree_plain.prepare_targets(pts, "src")
+    assert tree_plain._mesh is None
+    vals_plain = np.asarray(tree_plain.evaluate_device(jnp.asarray(w), "src"))
+
+    mesh = make_mesh(8, ("sp", "rhs"))
+    with use_mesh(mesh):
+        tree = FmmTree(pts, 4, kparams, adaptive_tree=True, sparse=True, params=params)
+    tree.prepare_targets(pts, "src")
+    assert tree._mesh is not None  # the row-sharded route is active
+    binned = tree._target_cache["src"]
+    assert int(binned["tgt_idx"].shape[0]) % int(mesh.shape["sp"]) == 0
+
+    vals_shard = np.asarray(tree.evaluate_device(jnp.asarray(w), "src"))
+    scale = np.max(np.abs(vals_plain))
+    # the sharded leaf pass contracts each row's u-list in one einsum while
+    # the scan path sums width classes separately — same values, different
+    # f64 reduction order (~1e-9 relative at this size)
+    assert np.max(np.abs(vals_shard - vals_plain)) <= 1e-8 * scale
+
+    # bitwise: same sharded program on a single-device "sp" mesh
+    mesh1 = make_mesh(1, ("sp",))
+    args = (
+        tree._dev, jnp.asarray(w), binned["targets_pad"], binned["tgt_idx"],
+        binned["tgt_mask"], binned["tcells"], binned["nbr_tab"],
+        binned["wtab"], binned["inv_row"], binned["inv_slot"],
+    )
+    kw = dict(
+        kparams=kparams, d=3, p=4, n_pad=binned["n_pad"], prec="f64",
+        ecs=int(tree.params.eval_chunk_size),
+    )
+    v8, *_ = fmm_api._matvec_fused_sharded(tree._mesh, *args, **kw)
+    v1, *_ = fmm_api._matvec_fused_sharded(mesh1, *args, **kw)
+    assert np.array_equal(np.asarray(v8), np.asarray(v1))
+
+    # per-device work shrinks: the lowered program contains a manual
+    # (shard_map) computation whose row operands are "sp"-sharded and whose
+    # per-device blocks carry R/n_sp rows — the leaf pass (P2P + M2P + L2P,
+    # the dominant per-matvec cost) runs on 1/n_sp of the rows per device
+    txt = fmm_api._matvec_fused_sharded.lower(tree._mesh, *args, **kw).as_text()
+    nsp = int(tree._mesh.shape["sp"])
+    r, t = int(binned["tgt_idx"].shape[0]), int(binned["tgt_idx"].shape[1])
+    mc = next(l for l in txt.splitlines() if "manual_computation" in l)
+    assert '{"sp"}' in mc  # row operands partitioned over the mesh axis
+    # the per-device tgt_idx block in the body signature is (R/n_sp, T)
+    body_sig = mc.split("manual_axes")[1]
+    assert f"tensor<{r // nsp}x{t}xi" in body_sig, mc[:400]
+    assert f"tensor<{r}x{t}xi" not in body_sig
+
+
 def test_full_fit_sharded_matches_single_device():
     """End-to-end iterative fit under use_mesh == single-device fit."""
     pts = _points(n=1000, seed=9)
