@@ -282,19 +282,32 @@ def ozaki_dot(a64, b64, dimension_numbers, nsl=6, keep=None):
     a_planes, _ = slice_planes(ah, al, (3,), nsl)  # (nsl, B, M, g, lc)
     b_planes, _ = slice_planes(bh, bl, (3,), nsl)
 
-    dn = (((3,), (3,)), ((1, 2), (1, 2)))  # batch (B, g), contract lc
+    # Diagonal-wise accumulation: plane-pair products on diagonal k = i+j
+    # share the scale 2^(-8k) x leading, so summing WITHIN a diagonal in
+    # f32 rounds at ~2^(-24-8k) of the result — harmless for k >= 1, and
+    # k = 0 has a single (exact) pair. Only ``keep`` f64 upcasts+adds of
+    # the (B, g, M, N) partial remain instead of one per pair (21 at
+    # keep=6) — the f64 partial traffic dominated the df64 M2L pass.
     out = None
-    for i in range(min(nsl, keep)):
-        for j in range(min(nsl, keep - i)):
+    for k in range(keep):
+        diag = None
+        for i in range(min(k + 1, nsl)):
+            j = k - i
+            if j >= nsl:
+                continue
             part = jax.lax.dot_general(
                 a_planes[i].transpose(0, 2, 1, 3),  # (B, g, M, lc)
                 b_planes[j].transpose(0, 2, 1, 3),  # (B, g, N, lc)
                 dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
-            ).astype(jnp.float64)  # (B, g, M, N), each exact in f32
-            out = part if out is None else out + part
-    out = out.sum(axis=1)  # exact: f64 accumulation of exact f32 partials
+            )  # (B, g, M, N), exact in f32
+            diag = part if diag is None else diag + part
+        if diag is None:
+            continue
+        d64 = diag.astype(jnp.float64)
+        out = d64 if out is None else out + d64
+    out = out.sum(axis=1)  # exact: f64 accumulation of the diagonal partials
     return out, a_free, b_free
 
 

@@ -243,6 +243,19 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
             y_all = y_c.reshape((-1,) + y_c.shape[2:])
         local = local.at[level_cells].add(y_all, mode="drop", unique_indices=True)
 
+    return _downward_tail(dev, local, w_sorted, w_tiles, kparams=kparams, prec=prec)
+
+
+def _downward_tail(dev, local, w_sorted, w_tiles=None, *, kparams, prec="f64"):
+    """P2L (x-list) + top-down L2L on a populated local table.
+
+    ``local`` arrives with the pad-target sentinel row still attached
+    ((ncells + 1) rows — as the M2L loop or :func:`_sharded_m2l` leaves
+    it); returns the finished (ncells, p^d, r) f64 local expansions.
+    """
+    df = prec == "df64"
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    kernel = make_kernel(kparams, dtype=ct)
     local = local[:-1]  # drop the pad-target sentinel row
 
     p2l = dev["p2l"]
@@ -787,16 +800,40 @@ def _matvec_fused_sharded(
     from jax.sharding import PartitionSpec as P
 
     ct = jnp.float32 if prec == "f32" else jnp.float64
+    df = prec == "df64"
     kernel = make_kernel(kparams, dtype=ct)
-    mult, w_sorted = _upward(dev, weights, prec=prec)
-    local = _downward(dev, mult, w_sorted, kparams=kparams, prec=prec)
-
-    # replicated weight bucketing (tiny next to the leaf pass)
-    w_tiles = jnp.where(
+    # one consolidated weight-tile gather (see _matvec_fused)
+    w_tiles_pre = jnp.where(
         dev["src_tile_mask"][..., None],
-        w_sorted[dev["src_tile_idx"]].astype(ct),
+        weights.astype(ct)[dev["src_tile_orig_idx"]],
         ct(0.0),
-    ).transpose(0, 2, 1)  # (L+1, nrhs, S)
+    )
+    mult, w_sorted = _upward(dev, weights, w_tiles_pre, prec=prec)
+
+    # M2L sharded over target slots when every level's padded slot count
+    # divides the mesh; P2L/L2L stay replicated (cheap tail)
+    nsp = int(mesh.shape["sp"])
+    levels = dev["m2l_levels"]
+    can_shard_m2l = bool(levels) and all(
+        (src_r.shape[0] * src_r.shape[2]) % nsp == 0
+        for (_u, _v, src_r, _c) in levels
+    )
+    if can_shard_m2l:
+        mult_c = mult.astype(ct)
+        mult_pad = jnp.concatenate(
+            [mult_c, jnp.zeros((1,) + mult_c.shape[1:], ct)], axis=0
+        )
+        local = _sharded_m2l(mesh, dev, mult_pad, ct=ct, df=df)
+        local = _downward_tail(
+            dev, local, w_sorted, w_tiles_pre, kparams=kparams, prec=prec
+        )
+    else:
+        local = _downward(
+            dev, mult, w_sorted, w_tiles_pre, kparams=kparams, prec=prec
+        )
+
+    # near-field weight tiles in kernel layout
+    w_tiles = w_tiles_pre.transpose(0, 2, 1)  # (L+1, nrhs, S)
 
     # multipole tiles for the M2P leg (sentinel row = zero weights)
     if wtab is not None:
@@ -850,6 +887,65 @@ def _matvec_fused_sharded(
         with_grads=False,
     )
     return vals, mult, local, w_sorted
+
+
+def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
+    """M2L with each level's target-slot axis partitioned over "sp".
+
+    SURVEY §5.8(b), second half: each device gathers/contracts its own
+    1/n_sp of the target slots per level (slots are disjoint across
+    devices and across levels), scatters into a device-local ``local``
+    block, and one psum over "sp" reassembles the full local-expansion
+    table for the (cheap, replicated) P2L/L2L tail. Per-slot math is
+    identical to the replicated level loop, so results match it to the
+    dot-tiling level and an n-device run matches a 1-device run of the
+    same program bitwise.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    levels = dev["m2l_levels"]
+    n_lv = len(levels)
+    args = []
+    in_specs = []
+    has_vt = []
+    for u_stack, vt_stack, src_r, level_cells in levels:
+        nchunk, g, c_chunk = src_r.shape
+        # slot-major (c_pad, g) source table; slots shard over "sp"
+        src_flat = src_r.transpose(0, 2, 1).reshape(nchunk * c_chunk, g)
+        has_vt.append(vt_stack is not None)
+        args.extend([
+            u_stack,
+            vt_stack if vt_stack is not None else jnp.zeros((1,), jnp.float64),
+            src_flat,
+            level_cells,
+        ])
+        in_specs.extend([P(), P(), P("sp"), P("sp")])
+
+    def block_fn(*flat):
+        local_part = jnp.zeros(mult_pad.shape, ct)
+        for i in range(n_lv):
+            u_stack, vt_pack, src_slots, cells_b = flat[4 * i : 4 * i + 4]
+            u_c = u_stack.astype(ct)
+            vt_c = vt_pack.astype(ct) if has_vt[i] else None
+            x = mult_pad[src_slots.T]  # (g, c_b, q|k, r)
+            if df:
+                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x)
+                y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z)
+            else:
+                z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
+                y = jax.lax.dot_general(
+                    u_c, z, dimension_numbers=(((0, 2), (0, 2)), ((), ()))
+                ).transpose(1, 0, 2)
+            local_part = local_part.at[cells_b].add(
+                y.astype(ct), mode="drop", unique_indices=True
+            )
+        return jax.lax.psum(local_part, "sp")
+
+    return jax.shard_map(
+        block_fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(),
+        check_vma=False,
+    )(*args)
+
 
 
 def _unbucket_impl(inv_row, inv_slot, vals_b, grads_b, *, n_pad, d, with_grads):
