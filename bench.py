@@ -87,6 +87,40 @@ def _roofline_config2(tree, binned, n, nrhs, times_s):
     }
 
 
+def _per_pass_config2(tree, w_dev, prec, fused_ms, times_fn):
+    """Per-pass ms table (VERDICT r2 item 1): upward and downward timed as
+    separate chained dispatches; the leaf pass (P2P+M2P+L2P+unbucket) is the
+    fused-program remainder — it has no standalone jitted entry point."""
+    import jax.numpy as jnp
+
+    from ferreus_rbf_tpu.ops.fmm import api
+
+    dev, kp = tree._dev, tree.kernel_params
+    mult, w_sorted = api._upward(dev, w_dev, prec=prec)
+    _pull(mult)
+    up_ms = times_fn(
+        lambda x: api._upward(
+            dev, w_dev * (1.0 + 1e-15 * jnp.ravel(x)[0]), prec=prec)[0],
+        mult,
+    )
+    local = api._downward(dev, mult, w_sorted, kparams=kp, prec=prec)
+    _pull(local)
+    down_ms = times_fn(
+        lambda x: api._downward(
+            dev, mult * (1.0 + 1e-15 * jnp.ravel(x)[0]), w_sorted,
+            kparams=kp, prec=prec),
+        local,
+    )
+    return {
+        "upward_p2m_m2m_ms": round(up_ms, 1),
+        "downward_m2l_p2l_l2l_ms": round(down_ms, 1),
+        "leaf_p2p_m2p_l2p_ms": round(max(fused_ms - up_ms - down_ms, 0.0), 1),
+        "fused_total_ms": round(fused_ms, 1),
+        "note": "leaf = fused - upward - downward (remainder of the single "
+                "fused program; parts timed as chained separate dispatches)",
+    }
+
+
 def config2_matvec(extra):
     import jax.numpy as jnp
 
@@ -135,6 +169,22 @@ def config2_matvec(extra):
             times.append((time.perf_counter() - t0) / K)
         times.sort()
         out[label] = n / times[len(times) // 2]
+
+        def _chain_ms(fn, x0, K=K):
+            reps = []
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                x = x0
+                for _k in range(K):
+                    x = fn(x)
+                _pull(x)
+                reps.append((time.perf_counter() - t0) / K)
+            reps.sort()
+            return reps[len(reps) // 2] * 1e3
+
+        fused_ms = times[len(times) // 2] * 1e3
+        extra[f"config2_per_pass_ms_{label}"] = _per_pass_config2(
+            tree, w_dev, prec, fused_ms, _chain_ms)
         if prec == "f32":
             extra["roofline"] = _roofline_config2(
                 tree, tree._target_cache["src"], n, nrhs, times)
