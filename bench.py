@@ -255,6 +255,49 @@ def config3_albatite(extra):
     _fit_config(extra, "config3_albatite_fit", pts, np.asarray(vals).reshape(-1), s, 1e-4)
 
 
+def config2_gradients(extra):
+    """df64 gradient tier vs value-only throughput (VERDICT r2 item 5).
+
+    100k adaptive-tree Spheroidal5 evaluation: gradients should land within
+    ~3x of value-only wall-clock (accuracy vs a true-f64 CPU oracle of the
+    same plan is asserted in tests/test_fmm.py::test_pallas_df64_gradients_
+    match_f64 and measured ~1e-13 by scripts/df64_grad_check.py)."""
+    import jax.numpy as jnp
+
+    from ferreus_rbf_tpu.ops.fmm.api import FmmTree
+    from ferreus_rbf_tpu.ops.kernels import KernelParams, KernelType
+
+    n = 100_000
+    rng = np.random.default_rng(7)
+    pts = rng.random((n, 3))
+    w = jnp.asarray(rng.standard_normal((n, 2)))
+    kp = KernelParams(KernelType.Spheroidal5Rbf, base_range=1.2, total_sill=0.9)
+    tree = FmmTree(pts, 5, kp, adaptive_tree=True, sparse=True)
+    tree.set_weights(np.asarray(w))
+
+    def _med(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    tree.evaluate_with_gradients(w, pts, reuse_key="src")  # warm
+    grad_s = _med(lambda: tree.evaluate_with_gradients(w, pts, reuse_key="src"))
+    tree.evaluate(w, pts, reuse_key="src")  # warm
+    val_s = _med(lambda: tree.evaluate(w, pts, reuse_key="src"))
+    extra["config2_gradient_tier"] = {
+        "n": n,
+        "grad_pts_per_s": round(n / grad_s, 1),
+        "val_pts_per_s": round(n / val_s, 1),
+        "grad_over_val": round(grad_s / val_s, 2),
+        "note": "host-returning eval incl. device->host pull; adaptive tree, "
+                "Spheroidal5, 2 RHS, f64-grade (df64) tier",
+    }
+
+
 def _synthetic_sd(n, seed=11):
     rng = np.random.default_rng(seed)
     dirs = rng.normal(size=(n, 3))
@@ -310,6 +353,7 @@ def main():
         ("config5", lambda: config5_3m_rmt(extra), 2400),
         ("config3", lambda: config3_albatite(extra), 400),
         ("config1", lambda: config1_tps2d(extra), 250),
+        ("gradients", lambda: config2_gradients(extra), 300),
         ("config4", lambda: config4_million(extra), 900),
     ]
     for name, fn, need in steps:
