@@ -204,11 +204,15 @@ def _fit_config(extra, key, pts, vals, settings, check_tol, warm_fit=True):
     so it is an end-to-end figure, not the raw Krylov residual.
     """
     import ferreus_rbf_tpu as frt
+    from ferreus_rbf_tpu.utils import telemetry
 
     n_prog0 = _program_count()
+    tracer = telemetry.enable_global_tracer()
     t0 = time.perf_counter()
     rbfi = frt.RBFInterpolator(pts, vals, settings)
     fit_s = time.perf_counter() - t0
+    stage_totals = {k: round(v, 2) for k, v in tracer.totals.items()}
+    telemetry.disable_global_tracer()
     t0 = time.perf_counter()
     resid = float(np.max(np.abs(rbfi.evaluate_at_source(add_nugget=True) - np.asarray(vals).reshape(-1))))
     eval_s = time.perf_counter() - t0
@@ -221,6 +225,7 @@ def _fit_config(extra, key, pts, vals, settings, check_tol, warm_fit=True):
         "max_residual_rel": float(f"{rel:.3e}"),
         "residual_kind": "solver residual re-evaluated through FMM at sources",
         "converged": bool(rel < check_tol),
+        "fit_stages_s": stage_totals,
     }
     if warm_fit:
         t0 = time.perf_counter()
