@@ -524,8 +524,11 @@ def _leaf_all(
         nrhs_p = -(-w_tiles.shape[1] // 8) * 8
         slab_bytes = 2 * (8 + nrhs_p) * u_max * dev["src_tiles"].shape[2] * 4
         # u_max <= 64: the slab kernel's (2, U, 2) DMA semaphore scratch
-        # lives in the 2 KB sflag space — 64 neighbours is its ceiling
-        if slab_bytes <= (6 << 20) and u_max <= 64:
+        # lives in the 2 KB sflag space — 64 neighbours is its ceiling.
+        # 4 MB slab budget: the segmented kernel body keeps <= ~10.4 MB of
+        # (T, 8192) intermediates live, so scratch + stack stays under the
+        # 16 MB scoped-VMEM limit.
+        if slab_bytes <= (4 << 20) and u_max <= 64:
             (vals,) = _chunk_pair_rows(
                 lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_slab(
                     t_args[0], dev["src_tiles"], w_tiles, nbr_c, kparams=kparams),),
@@ -1480,10 +1483,6 @@ class FmmTree:
 
         # concat of each neighbour leaf's point range, grouped by cell
         src_lens = leaf_counts[flat_srows]
-        flat_src = _concat_ranges(loff[flat_srows], src_lens)
-        width_src_c = np.zeros(nc, np.int64)
-        np.add.at(width_src_c, srow_cell, src_lens)
-        srcoff_c = np.cumsum(width_src_c) - width_src_c
 
         # w list -> Chebyshev-node ids per cell (flat)
         lo_w = np.searchsorted(self._w_sorted[:, 0], tcells_u)
@@ -1492,11 +1491,6 @@ class FmmTree:
         wcell = np.repeat(np.arange(nc), hi_w - lo_w)
         wcat_all = self._w_sorted[wpos, 1]
         wkeep = t.has_points[wcat_all]
-        flat_nodes = _concat_ranges(
-            wcat_all[wkeep] * nnodes, np.full(int(wkeep.sum()), nnodes, np.int64)
-        )
-        width_node_c = np.bincount(wcell[wkeep], minlength=nc) * nnodes
-        nodeoff_c = np.cumsum(width_node_c) - width_node_c
 
         def build_groups(flat, width_c, off_c, kind):
             """Group rows by pow2 width class; build padded index tables."""
@@ -1541,12 +1535,26 @@ class FmmTree:
                 meta.append((w_class, chunk_scan, chunk_pallas))
             return tuple(groups), tuple(meta)
 
-        # P2P/M2P scan tables stay HOST-side: the Pallas route never reads
-        # them and they are GB-scale at 1M+ points (rows x w_class int32
-        # per width class). They upload lazily on the first scan-path call
-        # (gradients / CPU backends / forced-off Pallas).
-        p2p_groups_host, p2p_meta = build_groups(flat_src, width_src_c, srcoff_c, "p2p")
-        m2p_groups_host, m2p_meta = build_groups(flat_nodes, width_node_c, nodeoff_c, "m2p")
+        # P2P/M2P scan tables are built (and uploaded) LAZILY on the first
+        # scan-path call (f32 gradients / CPU backends / forced-off Pallas):
+        # the Pallas route never reads them, they are GB-scale at 1M+ points
+        # (rows x w_class int32 per width class), and their construction is
+        # the dominant host binning cost (~10 s per 500k targets).
+        def _scan_builder(binned):
+            flat_src = _concat_ranges(loff[flat_srows], src_lens)
+            width_src_c = np.zeros(nc, np.int64)
+            np.add.at(width_src_c, srow_cell, src_lens)
+            srcoff_c = np.cumsum(width_src_c) - width_src_c
+            flat_nodes = _concat_ranges(
+                wcat_all[wkeep] * nnodes,
+                np.full(int(wkeep.sum()), nnodes, np.int64),
+            )
+            width_node_c = np.bincount(wcell[wkeep], minlength=nc) * nnodes
+            nodeoff_c = np.cumsum(width_node_c) - width_node_c
+            binned["p2p_groups_host"], binned["p2p_meta"] = build_groups(
+                flat_src, width_src_c, srcoff_c, "p2p")
+            binned["m2p_groups_host"], binned["m2p_meta"] = build_groups(
+                flat_nodes, width_node_c, nodeoff_c, "m2p")
 
         # Per-row w-list cell-tile table for the Pallas M2P ((U_w, ntl_pad)
         # int32, transposed for SMEM like nbr_tab; sentinel = the zero tile).
@@ -1651,10 +1659,7 @@ class FmmTree:
             "nbr_tab": jnp.asarray(np.ascontiguousarray(nbr_tab.T)),
             "inv_row": jnp.asarray(inv_row),
             "inv_slot": jnp.asarray(inv_slot),
-            "p2p_groups_host": p2p_groups_host,
-            "p2p_meta": p2p_meta,
-            "m2p_groups_host": m2p_groups_host,
-            "m2p_meta": m2p_meta,
+            "_scan_builder": _scan_builder,
             "wtab": wtab_t,
             "upairs": upairs_t,
             "n_pad": n_pad,
@@ -1686,6 +1691,12 @@ class FmmTree:
         self._bin_targets(target_points, reuse_key)
 
 
+    def _ensure_scan_tables(self, binned):
+        """Build the XLA-scan index tables on first scan-path use."""
+        if "p2p_groups_host" not in binned:
+            binned["_scan_builder"](binned)
+        return binned
+
     def _p2p_args(self, binned, prec: str, with_grads: bool):
         """(p2p_groups, p2p_meta, upairs) for a leaf-pass call.
 
@@ -1704,6 +1715,7 @@ class FmmTree:
         elif self._use_pallas and prec in ("f32", "df64"):
             return (), (), (binned["upairs"] if prec == "df64" else None)
         if "p2p_groups_dev" not in binned:
+            self._ensure_scan_tables(binned)
             binned["p2p_groups_dev"] = tuple(
                 tuple(jnp.asarray(a) for a in grp)
                 for grp in binned["p2p_groups_host"]
@@ -1730,6 +1742,7 @@ class FmmTree:
         elif self._use_pallas and prec in ("f32", "df64"):
             return (), (), wtab
         if "m2p_groups_dev" not in binned:
+            self._ensure_scan_tables(binned)
             binned["m2p_groups_dev"] = tuple(
                 tuple(jnp.asarray(a) for a in grp)
                 for grp in binned["m2p_groups_host"]

@@ -527,15 +527,27 @@ def _slab_rows_kernel(nbr_ref, t_ref, s_hbm, w_hbm, o_ref, s_scr, w_scr,
 
     jax.lax.fori_loop(0, u_max, waitall, zero)
 
-    tcol = t_ref[0, :, 0:1]
-    srow = s_scr[slot, 0:1, :]
-    dd = tcol - srow
-    r2 = dd * dd
-    for k in range(1, d):
-        dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, :]
-        r2 = r2 + dd * dd
-    kmat = phi_r2(r2)  # (T, U*S)
-    o_ref[0] = _f32_dot(kmat, w_scr[slot])
+    # Segment the (T, U*S) contraction: the phi chain keeps ~2-3 (T, W)
+    # f32 intermediates live, so an unsegmented slab blows the 16 MB
+    # scoped-VMEM stack once U*S crosses ~10k lanes (seen at u_max=58 on
+    # adaptive 1M-point trees). 8192-lane segments bound the stack at
+    # ~10 MB while leaving the config-2 slab (27*256 = 6912) in ONE
+    # segment — the single wide dot that won its throughput.
+    total = u_max * s_leaf
+    seg_w = min(max(1, 8192 // s_leaf) * s_leaf, total)
+    acc = None
+    for lo in range(0, total, seg_w):
+        hi = min(lo + seg_w, total)
+        tcol = t_ref[0, :, 0:1]
+        dd = tcol - s_scr[slot, 0:1, lo:hi]
+        r2 = dd * dd
+        for k in range(1, d):
+            dd = t_ref[0, :, k : k + 1] - s_scr[slot, k : k + 1, lo:hi]
+            r2 = r2 + dd * dd
+        kmat = phi_r2(r2)  # (T, W)
+        part = _f32_dot(kmat, w_scr[slot, :, lo:hi])
+        acc = part if acc is None else acc + part
+    o_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("kparams", "interpret"))

@@ -454,13 +454,25 @@ class DDMTree:
             else:
                 lhs = a
             # symmetric-indefinite rescue: add a tiny diagonal shift
-            shift = 1e-12 * np.abs(np.diag(lhs)).max()
+            shift = 1e-12 * max(np.abs(np.diag(lhs)).max(), 1.0)
             for _ in range(8):
                 try:
                     l = np.linalg.cholesky(lhs + shift * np.eye(lhs.shape[0]))
                     break
                 except np.linalg.LinAlgError:
                     shift *= 10.0
+            else:
+                # genuinely indefinite block (the reference escalates
+                # Llt -> Lblt here, domain.rs:63): clip the spectrum to an
+                # SPD floor and factor that — the block is only a
+                # preconditioner, so nearest-SPD is legitimate and this
+                # path cannot fail.
+                ew, ev = np.linalg.eigh((lhs + lhs.T) / 2.0)
+                floor = 1e-12 * max(float(ew.max()), 1.0)
+                l = np.linalg.cholesky(
+                    (ev * np.maximum(ew, floor)) @ ev.T
+                    + floor * np.eye(lhs.shape[0])
+                )
             npad = chol.shape[1]
             l_pad = np.eye(npad, dtype=chol.dtype)
             l_pad[: l.shape[0], : l.shape[1]] = l

@@ -68,6 +68,23 @@ class FusedSystem:
         if not self.ok:
             return
 
+        # HBM gate: one while-loop body holds every level's batched
+        # triangular solves (XLA InvertDiagBlocksLowerTriangular + remat
+        # copies of the (nb, S, S) blocks) live at once — measured ~9x the
+        # factor bytes at 1M points (2.1 GB of factors -> 18.4 GB requested
+        # vs 15.75 GB HBM). Past ~512 MB of factors the per-iteration
+        # compute dwarfs the ~25-75 ms/iteration dispatch latency the fused
+        # cycle exists to hide, so the host restart loop is the right mode.
+        factor_bytes = sum(
+            int(np.prod(b["chol"].shape)) * b["chol"].dtype.itemsize
+            for level in ddm.levels[:-1]
+            if level.device is not None
+            for b in level.device.buckets
+        )
+        if factor_bytes > (512 << 20):
+            self.ok = False
+            return
+
         state = {"dev": tree._dev, "binned": {}, "coarse": coarse[0]}
         self.coarse_k = coarse[1]
         self.coarse_poly = coarse[2]

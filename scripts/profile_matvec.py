@@ -49,7 +49,7 @@ def main():
     kp = KernelParams(KernelType.LinearRbf)
     tree = api.FmmTree(pts, p, kp, adaptive_tree=False, sparse=True, params=params)
     tree.prepare_targets(pts, "src")
-    binned = tree._target_cache["src"]
+    binned = tree._ensure_scan_tables(tree._target_cache["src"])
     dev = tree._dev
     w_dev = jnp.asarray(weights)
 

@@ -450,7 +450,7 @@ def test_eval_chunk_size_changes_chunking_not_values():
         tree = FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True, params=params)
         tree.set_weights(w)
         results.append(tree.evaluate(w, pts))
-        binned = tree._bin_targets(pts, None)
+        binned = tree._ensure_scan_tables(tree._bin_targets(pts, None))
         chunks.append([m[1] for m in binned["p2p_meta"]])
     assert chunks[0] != chunks[1], chunks  # the knob visibly changes chunking
     np.testing.assert_allclose(results[0], results[1], rtol=1e-13, atol=1e-13)

@@ -386,3 +386,32 @@ def test_fused_fgmres_matches_host_loop_fit():
     # both are tolerance-converged solutions of the same SPD system; they
     # agree far below the data scale (not bitwise: CGS2 vs while-loop order)
     assert float(np.max(np.abs(c_f - c_h))) < 1e-2 * float(np.max(np.abs(c_h)) + 1)
+
+
+def test_host_refactor_indefinite_block_falls_back_spd():
+    """A genuinely indefinite leaf block (TPS without QTAQ reduction, k=0)
+    must still come back as a finite SPD Cholesky factor: the jitter loop
+    cannot rescue it, so the spectral-clip fallback has to engage
+    (reference escalates Llt -> Lblt, domain.rs:63)."""
+    from ferreus_rbf_tpu.solver.ddm import LeafPlan
+
+    n = 24
+    pts = np.asarray(frt.generate_random_points(n, 2, seed=3))
+    settings = frt.InterpolantSettings(
+        kernel_type=frt.RBFKernelType.ThinPlateSpline)
+
+    class _Stub:
+        points = pts
+
+    stub = _Stub()
+    stub.settings = settings  # basis_size deliberately unset: raw TPS block
+    plan = LeafPlan(np.arange(n), np.ones(n, bool),
+                    np.concatenate([pts.min(0), pts.max(0)]), None, 0)
+    s_pad = 32
+    chol = np.full((1, s_pad, s_pad), np.nan)
+    out = DDMTree._host_refactor(stub, [plan], chol, np.array([0]), 0)
+    assert np.isfinite(out).all()
+    l = out[0, :n, :n]
+    # lower-triangular with strictly positive diagonal = usable SPD factor
+    assert np.allclose(l, np.tril(l))
+    assert (np.diag(l) > 0).all()
