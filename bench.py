@@ -96,6 +96,8 @@ def _per_pass_config2(tree, w_dev, prec, fused_ms, times_fn):
     from ferreus_rbf_tpu.ops.fmm import api
 
     dev, kp = tree._dev, tree.kernel_params
+    if prec == "f64":
+        prec = tree._f64_prec  # the tier evaluate_device actually runs
     mult, w_sorted = api._upward(dev, w_dev, prec=prec)
     _pull(mult)
     up_ms = times_fn(
