@@ -306,11 +306,18 @@ def config2_gradients(extra):
 
 
 def _synthetic_sd(n, seed=11):
+    """Signed-distance-style samples in a volumetric shell around a bumpy
+    unit sphere (zero level = the bumpy sphere). Radii are CONTINUOUS:
+    discrete shells (r1/r2 used {0.8, 1.0, 1.2}) collapse the point
+    spacing onto three parallel surfaces, and at 3M points the biharmonic
+    system becomes so stiff the f32-preconditioned solver stagnates —
+    volumetric sampling is both better conditioned and closer to how SDF
+    inputs are actually collected (on- plus off-surface samples)."""
     rng = np.random.default_rng(seed)
     dirs = rng.normal(size=(n, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     bump = 1.0 + 0.15 * np.sin(4 * dirs[:, 0]) * np.cos(3 * dirs[:, 1])
-    radii = rng.choice([0.8, 1.0, 1.2], size=n)
+    radii = 0.7 + 0.6 * rng.random(n)
     pts = dirs * (bump * radii)[:, None]
     sd = (radii - 1.0) * bump
     return pts, sd
@@ -352,16 +359,18 @@ def main():
     }}
 
     headline = None
-    # config 5 runs EARLY (right after the headline metric): it is the
-    # flagship scale demonstration and was budget-starved in r1/r2 when it
-    # ran last. configs 1/3 are cheap; config 4 yields to 5 if tight.
+    # Cheap configs run first (~30 min incl. headline), then the two
+    # at-scale fits: config 4 (measured ~16 min warm-cached) before
+    # config 5, which gets everything left — the 3M fit + RMT is the
+    # longest single config and must not starve the rest (it did in
+    # r1/r2 when ordered differently).
     steps = [
         ("headline", lambda: config2_matvec(extra), 300),
-        ("config5", lambda: config5_3m_rmt(extra), 2400),
         ("config3", lambda: config3_albatite(extra), 400),
         ("config1", lambda: config1_tps2d(extra), 250),
         ("gradients", lambda: config2_gradients(extra), 300),
         ("config4", lambda: config4_million(extra), 900),
+        ("config5", lambda: config5_3m_rmt(extra), 2200),
     ]
     for name, fn, need in steps:
         if budget_left() < need:
