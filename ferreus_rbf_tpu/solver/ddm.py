@@ -100,6 +100,12 @@ def _leaf_qtaq_structure(points, indices, internal_mask, settings, global_trend)
     return indices[order], internal_mask[order], q_top, rank
 
 
+@_partial(jax.jit, donate_argnums=(0,))
+def _write_chunk(buf, part, lo):
+    """In-place (donated) write of a factor chunk into the full batch."""
+    return jax.lax.dynamic_update_slice_in_dim(buf, part, lo, axis=0)
+
+
 @_partial(jax.jit, static_argnames=("kparams", "nugget", "k", "dtype"))
 def _factor_bucket(pts, mask, q_top, *, kparams, nugget, k, dtype):
     """Batched QTAQ assembly + Cholesky for one (S, k) bucket.
@@ -362,14 +368,30 @@ class DDMTree:
             per_dom = s_pad * s_pad * 8 * 6  # A + QTAQ temps + cholesky ws
             cap = max(1, int(2e9 // per_dom))
             nb_chunk = 1 << (cap.bit_length() - 1)
-            chunks = []
-            for lo in range(0, nb, nb_chunk):
-                hi = min(lo + nb_chunk, nb)
-                sel = np.arange(lo, hi)
-                if hi - lo < nb_chunk:
-                    sel = np.concatenate([sel, np.zeros(nb_chunk - (hi - lo), np.int64)])
-                chunks.append(
-                    _factor_bucket(
+            if nb_chunk >= nb:
+                chol = _factor_bucket(
+                    jnp.asarray(pts_b),
+                    jnp.asarray(mask),
+                    jnp.asarray(q_top),
+                    kparams=kparams,
+                    nugget=nugget,
+                    k=k,
+                    dtype=self.factor_dtype,
+                )
+            else:
+                # Accumulate chunks into a DONATED buffer (in-place update):
+                # collecting per-chunk outputs and concatenating keeps 2x
+                # the factor set live (at 2.2M points the 4.5 GB f32 factor
+                # batch OOM'd HBM during the concat spike).
+                chol = jnp.zeros(
+                    (nb, s_pad - k, s_pad - k), self.factor_dtype)
+                for lo in range(0, nb, nb_chunk):
+                    hi = min(lo + nb_chunk, nb)
+                    sel = np.arange(lo, hi)
+                    if hi - lo < nb_chunk:
+                        sel = np.concatenate(
+                            [sel, np.zeros(nb_chunk - (hi - lo), np.int64)])
+                    part = _factor_bucket(
                         jnp.asarray(pts_b[sel]),
                         jnp.asarray(mask[sel]),
                         jnp.asarray(q_top[sel]),
@@ -378,11 +400,10 @@ class DDMTree:
                         k=k,
                         dtype=self.factor_dtype,
                     )[: hi - lo]
-                )
+                    chol = _write_chunk(chol, part, lo)
             # Factors stay device-resident: pulling (nb, S, S) to host just
             # for the NaN check costs D2H + H2D of the whole factor set on
             # tunneled runtimes. One scalar any-NaN reduction decides.
-            chol = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
             if bool(jnp.any(jnp.isnan(chol))):
                 # numerically indefinite bucket: re-factor the offending
                 # domains on the host with the LDL fallback (``domain.rs:63``)
@@ -491,16 +512,29 @@ class DDMTree:
         n_out = residual.shape[0]
         out = jnp.zeros((n_out, residual.shape[1]), jnp.float64)
         for bucket in level.device.buckets:
-            out = out + _solve_bucket(
-                res,
-                bucket["pts_idx"],
-                bucket["mask"],
-                bucket["internal"],
-                bucket["q_top"],
-                bucket["chol"],
-                k=bucket["k"],
-                n_out=n_out,
-            )
+            nb = int(bucket["chol"].shape[0])
+            s_pad = int(bucket["chol"].shape[1])
+            # Bound the batched triangular-solve temps: XLA materialises
+            # inverted diagonal blocks ~ the batch's factor bytes, so one
+            # 24k-domain call at 3M points (6.4 GB of f32 factors) doubles
+            # its footprint and exhausts HBM. 1 GB chunks keep the solve
+            # temps bounded; sharded buckets stay whole (their domain axis
+            # is already partitioned over "sp").
+            bytes_per = s_pad * s_pad * bucket["chol"].dtype.itemsize
+            chunk = nb if self._sp > 1 else max(
+                1, min(nb, (1 << 30) // max(bytes_per, 1)))
+            for lo in range(0, nb, chunk):
+                hi = min(lo + chunk, nb)
+                out = out + _solve_bucket(
+                    res,
+                    bucket["pts_idx"][lo:hi],
+                    bucket["mask"][lo:hi],
+                    bucket["internal"][lo:hi],
+                    bucket["q_top"][lo:hi],
+                    bucket["chol"][lo:hi],
+                    k=bucket["k"],
+                    n_out=n_out,
+                )
         return out  # device array; callers pull to host only when needed
 
     def coarse_device_arrays(self):

@@ -159,12 +159,19 @@ def fgmres_device(
     max_inner_iterations: int = 5,
     tolerance: FittingAccuracy = None,
     callback: Optional[Progress] = None,
+    stall_cycle_factor: float = None,
 ):
     """Device-resident FGMRES: identical semantics to :func:`fgmres`, but
     ``a``/``m`` map device arrays to device arrays and the Krylov basis stays
     in HBM. Per inner iteration only the Gram-Schmidt coefficient column and
     the basis-vector norm are pulled to the host (two small transfers), so
-    the hot loop is dominated by the operator applications."""
+    the hot loop is dominated by the operator applications.
+
+    ``stall_cycle_factor`` (optional): return early when a full restart
+    cycle fails to shrink the residual below ``factor *`` its cycle-start
+    value — used by the refined wrapper's f32 rounds, where an operator at
+    its accuracy floor would otherwise grind out every remaining restart
+    making no progress (at 3M points: ~100 iterations x ~20 s each)."""
     import jax.numpy as jnp
 
     tolerance = tolerance or FittingAccuracy()
@@ -264,11 +271,15 @@ def fgmres_device(
             return x
 
         r = b - a(x)
+        r_l2 = float(jnp.linalg.norm(r))
         if tolerance.tolerance_type == FittingAccuracyType.Absolute:
             res_norm = float(jnp.max(jnp.abs(r)))
         else:
-            res_norm = float(jnp.linalg.norm(r)) / beta
+            res_norm = r_l2 / beta
         if res_norm < tolerance.tolerance:
+            break
+        # r_norm is the cycle-start l2 residual (set before the inner loop)
+        if stall_cycle_factor is not None and r_l2 > stall_cycle_factor * r_norm:
             break
 
     return x
@@ -366,6 +377,12 @@ def refined_fgmres_device(
             max_inner_iterations=max_inner_iterations,
             tolerance=FittingAccuracy(inner_tol, FittingAccuracyType.Relative),
             callback=callback,
+            # f32 rounds: bail out of a restart cycle that did not halve the
+            # residual — the f32 operator is at its accuracy floor and the
+            # remaining restarts would grind without progress (escalation to
+            # the f64-grade inner handles it). The escalated op runs with
+            # the full restart budget.
+            stall_cycle_factor=None if escalated else 0.5,
         )
         x = x + dx
 
