@@ -191,40 +191,37 @@ class DDMTree:
         # "sp", so the batched back-solves partition across devices.
         self.mesh = active_mesh()
         self._sp = shard_axis_size(self.mesh, "sp")
-        self._autoscale_leaf_threshold()
         self._build()
 
-    def _autoscale_leaf_threshold(self):
-        """Halve leaf_threshold until the projected device factor memory
-        fits the HBM budget.
+    def _leaf_threshold_for(self, m: int) -> int:
+        """Per-LEVEL leaf threshold: the largest power of two <= the user
+        cap whose stored factors fit this level's share of the HBM budget.
 
-        The stored Cholesky factors cost ~ndomains * S^2 with
-        S ~ leaf * (1 + overlap), i.e. LINEAR in leaf size — at 1M points
-        the reference default (1024) wants ~9 GB of a 16 GB chip for the
-        finest level alone. Halving trades a few extra Schwarz iterations
-        for fitting on-chip. Env override FERREUS_RBF_TPU_DDM_MEM_GB.
+        A level of m points stores ~ m * S * (1+q)^2 * itemsize of
+        Cholesky factors (LINEAR in leaf size S) — the reference default
+        (1024) wants ~9 GB of a 16 GB chip for the finest level alone at
+        1M points. Sizing PER LEVEL instead of globally (r1-r3.0 halved
+        one global leaf_threshold) is what keeps the multilevel
+        preconditioner strong at scale: the finest level is memory-bound
+        to small domains, but each coarser level has coarse_ratio x fewer
+        points and can afford proportionally larger ones. The global
+        shrink left EVERY level with ~128-point domains at >= 2M points
+        and the measured first-iteration contraction collapsed (60k:
+        ~200x, 1M: ~6x, 2.5M: 1.06x — stagnation). Env override
+        FERREUS_RBF_TPU_DDM_MEM_GB scales the budget.
         """
-        import dataclasses
         import os
 
         budget = float(os.environ.get("FERREUS_RBF_TPU_DDM_MEM_GB", "5.0")) * 1e9
         bytes_per = 4 if self.factor_dtype == jnp.float32 else 8
-        n = self.points.shape[0]
+        q2 = (1.0 + self.params.overlap_quota) ** 2
+        # this level's share: 40% of the budget (levels shrink by
+        # coarse_ratio, so the sum over levels stays ~within budget)
+        cap = int(0.4 * budget / max(m * q2 * bytes_per, 1.0))
         leaf = self.params.leaf_threshold
-
-        def projected(leaf_sz):
-            total = 0.0
-            m = n
-            while m > self.params.coarse_threshold:
-                s = leaf_sz * (1.0 + self.params.overlap_quota)
-                total += max(m / leaf_sz, 1.0) * s * s * bytes_per
-                m = int(m * self.params.coarse_ratio)
-            return total
-
-        while leaf > 128 and projected(leaf) > budget:
+        while leaf > 128 and leaf > cap:
             leaf //= 2
-        if leaf != self.params.leaf_threshold:
-            self.params = dataclasses.replace(self.params, leaf_threshold=leaf)
+        return leaf
 
     # -------------------------------------------------------------- build
     def _build(self):
@@ -235,6 +232,7 @@ class DDMTree:
 
         while active.size > p.coarse_threshold:
             level = Level(active)
+            leaf_t = self._leaf_threshold_for(active.size)
             # --- recursive median split (FIFO, like the reference) -------
             queue = [(active, self._extents_of(active))]
             leaves_raw = []
@@ -252,7 +250,7 @@ class DDMTree:
                 lext[axis + d] = mid_coord
                 rext = ext.copy()
                 rext[axis] = mid_coord
-                if idx.size * (1.0 + p.overlap_quota) >= 2.0 * p.leaf_threshold:
+                if idx.size * (1.0 + p.overlap_quota) >= 2.0 * leaf_t:
                     queue.append((left, lext))
                     queue.append((right, rext))
                 else:
