@@ -123,6 +123,12 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
     _, dd, s = src_coords_t.shape
     nrhs = src_w_t.shape[1]
     u = nbr_tab.shape[0]
+    # Mosaic cannot lower sub-8-lane dot accumulators ("only constant
+    # accumulators supported" at nrhs=1 — the solver's single-RHS
+    # matvec); pad the RHS axis to a multiple of 8 like the slab kernel.
+    nrhs_pad = -(-nrhs // 8) * 8
+    if nrhs < nrhs_pad:
+        src_w_t = jnp.pad(src_w_t, ((0, 0), (0, nrhs_pad - nrhs), (0, 0)))
     phi = _k.make_kernel(kparams, dtype=jnp.float32).phi_r2
     body = functools.partial(_pair_kernel, phi_r2=phi, d=d, nu=u)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -136,17 +142,17 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
                 (1, dd, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM
             ),
             pl.BlockSpec(
-                (1, nrhs, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM
+                (1, nrhs_pad, s), lambda i, j, nbr: (nbr[j, i], i * 0, i * 0), memory_space=_VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, nrhs), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM
+            (1, t, nrhs_pad), lambda i, j, nbr: (i, i * 0, i * 0), memory_space=_VMEM
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, t, nrhs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, t, nrhs_pad), jnp.float32),
         interpret=interpret,
     )(
         nbr_tab,
@@ -154,6 +160,7 @@ def p2p_leaf_pairs(tgt_tiles, src_coords_t, src_w_t, nbr_tab, *, kparams, interp
         src_coords_t.astype(jnp.float32),
         src_w_t.astype(jnp.float32),
     )
+    return out[..., :nrhs] if nrhs_pad != nrhs else out
 
 
 def _df64_slice_rows(mh, ml, nsl):
