@@ -40,6 +40,15 @@ from .tree import Octree, PointOutsideTreeError, calculate_tree_center_and_radiu
 
 __all__ = ["FmmTree", "PointOutsideTreeError", "KernelDoesNotSupportGradientsError"]
 
+import os as _os
+
+# df64 near-field accuracy/speed dial: number of slice-product DIAGONALS the
+# split-dot contraction keeps (see p2p_pallas._df64_seg_dots). keep=6 runs
+# 21 bf16 MXU dots per (row, tile) pair for ~1e-13 relative; keep=5 runs 15
+# (~30% fewer) for ~1e-11 — still far below the 1e-8 interpolant-match goal
+# (BASELINE.md). The w-plane slicing (nsl=6) is unchanged either way.
+_DF64_KEEP = int(_os.environ.get("FERREUS_RBF_TPU_DF64_KEEP", "6"))
+
 
 class KernelDoesNotSupportGradientsError(ValueError):
     def __init__(self):
@@ -560,13 +569,13 @@ def _leaf_all(
             pru, ptu, pfu = upairs
             oh, ol = p2p_pallas.p2p_pairlist_df64(
                 th, tl, dev["src_tiles"], dev["src_tiles_lo"],
-                w_planes, pru, ptu, pfu, kparams=kparams,
+                w_planes, pru, ptu, pfu, kparams=kparams, keep=_DF64_KEEP,
             )
         else:
             oh, ol = _chunk_pair_rows(
                 lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
                     t_args[0], t_args[1], dev["src_tiles"], dev["src_tiles_lo"],
-                    w_planes, nbr_c, kparams=kparams),
+                    w_planes, nbr_c, kparams=kparams, keep=_DF64_KEEP),
                 (th, tl), nbr_tab,
             )
         # kernel output is (R, nrhs, T): weights-major so nrhs needs no pad
@@ -583,7 +592,7 @@ def _leaf_all(
         pru, ptu, pfu = upairs
         oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
             th, tl, dev["src_tiles"], dev["src_tiles_lo"],
-            w_planes, pru, ptu, pfu, kparams=kparams,
+            w_planes, pru, ptu, pfu, kparams=kparams, keep=_DF64_KEEP,
         )
         vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
         nrhs_g = oh.shape[1]
@@ -639,7 +648,7 @@ def _leaf_all(
             oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
                 th.astype(jnp.float32), tl.astype(jnp.float32),
                 dev["node_tiles"], dev["node_tiles_lo"],
-                m_planes, prows, ptiles, pfirst, kparams=kparams,
+                m_planes, prows, ptiles, pfirst, kparams=kparams, keep=_DF64_KEEP,
             )
             vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
             g = df64_mod.to_f64(goh, gol).reshape(goh.shape[0], d, nrhs, -1)
@@ -659,13 +668,13 @@ def _leaf_all(
                 oh, ol = p2p_pallas.p2p_pairlist_df64(
                     th.astype(jnp.float32), tl.astype(jnp.float32),
                     dev["node_tiles"], dev["node_tiles_lo"],
-                    m_planes, prows, ptiles, pfirst, kparams=kparams,
+                    m_planes, prows, ptiles, pfirst, kparams=kparams, keep=_DF64_KEEP,
                 )
             else:
                 oh, ol = _chunk_pair_rows(
                     lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
                         t_args[0], t_args[1], dev["node_tiles"], dev["node_tiles_lo"],
-                        m_planes, nbr_c, kparams=kparams),
+                        m_planes, nbr_c, kparams=kparams, keep=_DF64_KEEP),
                     (th, tl), wtab,
                 )
             vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
@@ -1002,18 +1011,24 @@ class FmmTree:
         center, radius = calculate_tree_center_and_radius(np.asarray(extents, np.float64))
         self._world_center = np.asarray(center, np.float64)
 
-        self.tree: Octree = tree_mod.build_tree(
-            pts,
-            center,
-            radius,
-            self.params.max_points_per_cell,
-            store_empty_leaves=not sparse,
-            dimensions=self.d,
-            adaptive=adaptive_tree,
-        )
-        self._build_operators()
-        self._build_plan()
-        self._build_device_state()
+        from ...utils.telemetry import traced_stage
+
+        with traced_stage("fmm_octree_build"):
+            self.tree: Octree = tree_mod.build_tree(
+                pts,
+                center,
+                radius,
+                self.params.max_points_per_cell,
+                store_empty_leaves=not sparse,
+                dimensions=self.d,
+                adaptive=adaptive_tree,
+            )
+        with traced_stage("fmm_operators"):
+            self._build_operators()
+        with traced_stage("fmm_plan"):
+            self._build_plan()
+        with traced_stage("fmm_device_state"):
+            self._build_device_state()
 
         self.nrhs = 1
         self._multipole = None

@@ -40,6 +40,7 @@ from ..ops.polynomials import (
 )
 from ..parallel.sharding import active_mesh, shard_axis_size
 from ..utils.common import farthest_point_sampling, get_cheb_cube_scaling_factors
+from ..utils.telemetry import traced_stage
 from .domain import Domain, _rank_from_pivoted_qr
 
 _RANK_TOL = 1e-10
@@ -113,14 +114,28 @@ def _factor_bucket(pts, mask, q_top, *, kparams, nugget, k, dtype):
     pts (nb, S, d); mask (nb, S); q_top (nb, k, S-k). Padded rows/cols are
     replaced by identity so the padded system stays SPD.
     """
-    kernel = make_kernel(kparams)
+    # Factor in the precision the SOLVES run in: with f32 factors the whole
+    # assembly + Cholesky pipeline runs f32 (TPU-native rates) instead of
+    # emulated f64 — measured 80 of 199 s of a 1M-point DDM build was the
+    # f64 factorisation wait. The f32 assembly's ~1e-7 relative error is
+    # irrelevant to a preconditioner whose application is f32 anyway;
+    # breakdown (sqrt of a negative on a near-singular block) yields NaN
+    # rows that the existing host LDL rescue re-factors. A tiny
+    # scale-relative jitter keeps borderline blocks SPD in f32.
+    ct = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    kernel = make_kernel(kparams, dtype=ct)
+    pts = pts.astype(ct)
     a = kernel.pair(pts, pts)
     s = pts.shape[1]
-    eye = jnp.eye(s, dtype=jnp.float64)
-    a = a + nugget * eye
+    eye = jnp.eye(s, dtype=ct)
+    if ct == jnp.float32:
+        scale = jnp.max(jnp.abs(a), axis=(1, 2), keepdims=True)
+        a = a + (3e-7 * scale) * eye
+    a = a + jnp.asarray(nugget, ct) * eye
     outer = mask[:, :, None] & mask[:, None, :]
     a = jnp.where(outer, a, eye[None])
     if k:
+        q_top = q_top.astype(ct)
         a11 = a[:, :k, :k]
         a12 = a[:, :k, k:]
         a21 = a[:, k:, :k]
@@ -234,6 +249,7 @@ class DDMTree:
             level = Level(active)
             leaf_t = self._leaf_threshold_for(active.size)
             # --- recursive median split (FIFO, like the reference) -------
+            _stage = traced_stage("ddm_split"); _stage.__enter__()
             queue = [(active, self._extents_of(active))]
             leaves_raw = []
             while queue:
@@ -257,12 +273,14 @@ class DDMTree:
                     leaves_raw.append((left, lext))
                     leaves_raw.append((right, rext))
 
+            _stage.__exit__(None, None, None)
             nleaves = len(leaves_raw)
             num_coarse = int(
                 np.ceil(np.ceil(active.size * p.coarse_ratio) / nleaves)
             )
 
             # --- coarse point selection per leaf --------------------------
+            _stage = traced_stage("ddm_coarse_sel"); _stage.__enter__()
             coarse_all = []
             for idx, _ext in leaves_raw:
                 internal_points = pts[idx]
@@ -273,7 +291,9 @@ class DDMTree:
                 sel = farthest_point_sampling(internal_points, sample, seed)
                 coarse_all.append(np.sort(idx[sel]))
 
+            _stage.__exit__(None, None, None)
             # --- overlap from neighbouring leaves' internal points --------
+            _stage = traced_stage("ddm_overlap_qtaq"); _stage.__enter__()
             exts = np.stack([ext for _idx, ext in leaves_raw])
             lo, hi = exts[:, :d], exts[:, d:]
             # AABB intersection (touching counts), excluding self
@@ -313,8 +333,10 @@ class DDMTree:
                     LeafPlan(all_idx, internal, ext, q_top, rank)
                 )
 
+            _stage.__exit__(None, None, None)
             level.leaf_plans = plans
-            self._factorise_level(level)
+            with traced_stage("ddm_factorise"):
+                self._factorise_level(level)
             self.levels.append(level)
             active = np.sort(np.concatenate(coarse_all))
 

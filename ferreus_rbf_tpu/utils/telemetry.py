@@ -22,6 +22,7 @@ Usage::
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import OrderedDict
 
@@ -77,15 +78,33 @@ def global_tracer() -> Tracer | None:
     return _GLOBAL_TRACER
 
 
+_TRACE_PRINT = os.environ.get("FERREUS_RBF_TPU_TRACE_PRINT", "") not in ("", "0")
+
+
 @contextlib.contextmanager
 def traced_stage(name: str):
-    """Record into the global tracer when enabled; no-op otherwise."""
+    """Record into the global tracer when enabled; no-op otherwise.
+
+    ``FERREUS_RBF_TPU_TRACE_PRINT=1`` additionally prints stage enter/exit
+    with wall-clock to stderr — live visibility into long setups (the
+    tracer totals only become readable after the stage returns)."""
+    if _TRACE_PRINT:
+        import sys
+        import time as _time
+
+        t0 = _time.perf_counter()
+        print(f"[stage] {name} ...", file=sys.stderr, flush=True)
     tracer = _GLOBAL_TRACER
-    if tracer is None:
-        yield
-        return
-    with tracer.stage(name):
-        yield
+    try:
+        if tracer is None:
+            yield
+        else:
+            with tracer.stage(name):
+                yield
+    finally:
+        if _TRACE_PRINT:
+            print(f"[stage] {name} done {_time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
 
 @contextlib.contextmanager

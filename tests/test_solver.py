@@ -228,6 +228,31 @@ def test_ddm_threshold_short_circuit():
     assert len(tree.levels) == 1
 
 
+def test_ddm_per_level_leaf_sizing():
+    """Memory autoscaling is PER LEVEL (regression for the >=1M stall):
+    only levels whose factor bytes exceed their HBM share shrink their
+    leaf threshold; coarser levels (coarse_ratio x fewer points) keep the
+    large domains the multilevel Schwarz scheme needs, and the cap
+    recovers monotonically as the level point count drops."""
+    import jax.numpy as jnp
+
+    tree = DDMTree.__new__(DDMTree)
+    tree.params = DDMParams(leaf_threshold=1024, overlap_quota=0.5)
+    tree.factor_dtype = jnp.float32
+
+    t_fine = tree._leaf_threshold_for(3_000_000)
+    t_mid = tree._leaf_threshold_for(375_000)   # one coarse_ratio=0.125 step
+    t_small = tree._leaf_threshold_for(50_000)
+    assert t_fine < tree.params.leaf_threshold  # finest level is memory-bound
+    assert t_fine >= 128                        # never below the floor
+    assert t_fine <= t_mid <= t_small           # recovers with level size
+    assert t_small == tree.params.leaf_threshold  # small levels: user cap
+
+    # f64 factors cost 2x the bytes -> the same level sizes no larger
+    tree.factor_dtype = jnp.float64
+    assert tree._leaf_threshold_for(3_000_000) <= t_fine
+
+
 # ------------------------------------------------------ end-to-end iterative
 def _iter_params(kernel_type, leaf=300, coarse=800):
     params = Params.builder(kernel_type).naive_solve_threshold(1000).build()
