@@ -47,7 +47,14 @@ import os as _os
 # 21 bf16 MXU dots per (row, tile) pair for ~1e-13 relative; keep=5 runs 15
 # (~30% fewer) for ~1e-11 — still far below the 1e-8 interpolant-match goal
 # (BASELINE.md). The w-plane slicing (nsl=6) is unchanged either way.
-_DF64_KEEP = int(_os.environ.get("FERREUS_RBF_TPU_DF64_KEEP", "6"))
+try:
+    _DF64_KEEP = int(_os.environ.get("FERREUS_RBF_TPU_DF64_KEEP", "6"))
+except ValueError as _e:
+    raise ValueError(
+        "FERREUS_RBF_TPU_DF64_KEEP must be an integer >= 1 (number of df64 "
+        f"split-dot diagonals to keep), got {_os.environ['FERREUS_RBF_TPU_DF64_KEEP']!r}"
+    ) from _e
+_DF64_KEEP = max(1, _DF64_KEEP)
 
 
 class KernelDoesNotSupportGradientsError(ValueError):

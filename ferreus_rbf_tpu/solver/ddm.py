@@ -249,91 +249,88 @@ class DDMTree:
             level = Level(active)
             leaf_t = self._leaf_threshold_for(active.size)
             # --- recursive median split (FIFO, like the reference) -------
-            _stage = traced_stage("ddm_split"); _stage.__enter__()
-            queue = [(active, self._extents_of(active))]
-            leaves_raw = []
-            while queue:
-                idx, ext = queue.pop(0)
-                cur = pts[idx]
-                spans = cur.max(axis=0) - cur.min(axis=0)
-                axis = int(np.argmax(spans))
-                order = np.argsort(cur[:, axis], kind="stable")
-                mid = idx.size // 2
-                left = np.sort(idx[order[:mid]])
-                right = np.sort(idx[order[mid:]])
-                mid_coord = pts[idx[order[mid]], axis]
-                lext = ext.copy()
-                lext[axis + d] = mid_coord
-                rext = ext.copy()
-                rext[axis] = mid_coord
-                if idx.size * (1.0 + p.overlap_quota) >= 2.0 * leaf_t:
-                    queue.append((left, lext))
-                    queue.append((right, rext))
-                else:
-                    leaves_raw.append((left, lext))
-                    leaves_raw.append((right, rext))
+            with traced_stage("ddm_split"):
+                queue = [(active, self._extents_of(active))]
+                leaves_raw = []
+                while queue:
+                    idx, ext = queue.pop(0)
+                    cur = pts[idx]
+                    spans = cur.max(axis=0) - cur.min(axis=0)
+                    axis = int(np.argmax(spans))
+                    order = np.argsort(cur[:, axis], kind="stable")
+                    mid = idx.size // 2
+                    left = np.sort(idx[order[:mid]])
+                    right = np.sort(idx[order[mid:]])
+                    mid_coord = pts[idx[order[mid]], axis]
+                    lext = ext.copy()
+                    lext[axis + d] = mid_coord
+                    rext = ext.copy()
+                    rext[axis] = mid_coord
+                    if idx.size * (1.0 + p.overlap_quota) >= 2.0 * leaf_t:
+                        queue.append((left, lext))
+                        queue.append((right, rext))
+                    else:
+                        leaves_raw.append((left, lext))
+                        leaves_raw.append((right, rext))
 
-            _stage.__exit__(None, None, None)
             nleaves = len(leaves_raw)
             num_coarse = int(
                 np.ceil(np.ceil(active.size * p.coarse_ratio) / nleaves)
             )
 
             # --- coarse point selection per leaf --------------------------
-            _stage = traced_stage("ddm_coarse_sel"); _stage.__enter__()
-            coarse_all = []
-            for idx, _ext in leaves_raw:
-                internal_points = pts[idx]
-                sample = min(idx.size, num_coarse)
-                center = internal_points.mean(axis=0)
-                dist = np.linalg.norm(internal_points - center, axis=1)
-                seed = int(np.argmin(dist))
-                sel = farthest_point_sampling(internal_points, sample, seed)
-                coarse_all.append(np.sort(idx[sel]))
+            with traced_stage("ddm_coarse_sel"):
+                coarse_all = []
+                for idx, _ext in leaves_raw:
+                    internal_points = pts[idx]
+                    sample = min(idx.size, num_coarse)
+                    center = internal_points.mean(axis=0)
+                    dist = np.linalg.norm(internal_points - center, axis=1)
+                    seed = int(np.argmin(dist))
+                    sel = farthest_point_sampling(internal_points, sample, seed)
+                    coarse_all.append(np.sort(idx[sel]))
 
-            _stage.__exit__(None, None, None)
             # --- overlap from neighbouring leaves' internal points --------
-            _stage = traced_stage("ddm_overlap_qtaq"); _stage.__enter__()
-            exts = np.stack([ext for _idx, ext in leaves_raw])
-            lo, hi = exts[:, :d], exts[:, d:]
-            # AABB intersection (touching counts), excluding self
-            inter = np.all(
-                (lo[:, None, :] <= hi[None, :, :]) & (hi[:, None, :] >= lo[None, :, :]),
-                axis=2,
-            )
-            np.fill_diagonal(inter, False)
+            with traced_stage("ddm_overlap_qtaq"):
+                exts = np.stack([ext for _idx, ext in leaves_raw])
+                lo, hi = exts[:, :d], exts[:, d:]
+                # AABB intersection (touching counts), excluding self
+                inter = np.all(
+                    (lo[:, None, :] <= hi[None, :, :]) & (hi[:, None, :] >= lo[None, :, :]),
+                    axis=2,
+                )
+                np.fill_diagonal(inter, False)
 
-            plans = []
-            for i, (idx, ext) in enumerate(leaves_raw):
-                nbr = np.nonzero(inter[i])[0]
-                nbr_idx = (
-                    np.concatenate([leaves_raw[j][0] for j in nbr])
-                    if nbr.size
-                    else np.zeros(0, np.int64)
-                )
-                num_overlap = int(np.ceil(idx.size * 2 * p.overlap_quota))
-                if nbr_idx.size:
-                    clipped = np.clip(pts[nbr_idx], ext[:d], ext[d:])
-                    dist = np.linalg.norm(pts[nbr_idx] - clipped, axis=1)
-                    take = np.argsort(dist, kind="stable")[:num_overlap]
-                    overlap_idx = nbr_idx[take]
-                else:
-                    overlap_idx = np.zeros(0, np.int64)
-                all_idx = np.concatenate([idx, overlap_idx])
-                internal = np.concatenate(
-                    [np.ones(idx.size, bool), np.zeros(overlap_idx.size, bool)]
-                )
-                if self.settings.basis_size != 0:
-                    all_idx, internal, q_top, rank = _leaf_qtaq_structure(
-                        pts, all_idx, internal, self.settings, self.global_trend
+                plans = []
+                for i, (idx, ext) in enumerate(leaves_raw):
+                    nbr = np.nonzero(inter[i])[0]
+                    nbr_idx = (
+                        np.concatenate([leaves_raw[j][0] for j in nbr])
+                        if nbr.size
+                        else np.zeros(0, np.int64)
                     )
-                else:
-                    q_top, rank = None, 0
-                plans.append(
-                    LeafPlan(all_idx, internal, ext, q_top, rank)
-                )
+                    num_overlap = int(np.ceil(idx.size * 2 * p.overlap_quota))
+                    if nbr_idx.size:
+                        clipped = np.clip(pts[nbr_idx], ext[:d], ext[d:])
+                        dist = np.linalg.norm(pts[nbr_idx] - clipped, axis=1)
+                        take = np.argsort(dist, kind="stable")[:num_overlap]
+                        overlap_idx = nbr_idx[take]
+                    else:
+                        overlap_idx = np.zeros(0, np.int64)
+                    all_idx = np.concatenate([idx, overlap_idx])
+                    internal = np.concatenate(
+                        [np.ones(idx.size, bool), np.zeros(overlap_idx.size, bool)]
+                    )
+                    if self.settings.basis_size != 0:
+                        all_idx, internal, q_top, rank = _leaf_qtaq_structure(
+                            pts, all_idx, internal, self.settings, self.global_trend
+                        )
+                    else:
+                        q_top, rank = None, 0
+                    plans.append(
+                        LeafPlan(all_idx, internal, ext, q_top, rank)
+                    )
 
-            _stage.__exit__(None, None, None)
             level.leaf_plans = plans
             with traced_stage("ddm_factorise"):
                 self._factorise_level(level)

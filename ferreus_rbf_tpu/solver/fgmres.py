@@ -19,6 +19,7 @@ import numpy as np
 
 from ..interpolant_config import FittingAccuracy, FittingAccuracyType
 from ..progress import Progress, SolverIteration, emit, progress_from_rel
+from ..utils.telemetry import record_event
 
 
 def givens_rotation(f: float, g: float):
@@ -280,6 +281,11 @@ def fgmres_device(
             break
         # r_norm is the cycle-start l2 residual (set before the inner loop)
         if stall_cycle_factor is not None and r_l2 > stall_cycle_factor * r_norm:
+            record_event("stall_exit", {
+                "cycle_start_l2": float(f"{r_norm:.3e}"),
+                "cycle_end_l2": float(f"{r_l2:.3e}"),
+                "factor": stall_cycle_factor,
+            })
             break
 
     return x
@@ -295,8 +301,15 @@ def refined_fgmres_device(
     tolerance: FittingAccuracy = None,
     callback: Optional[Progress] = None,
     max_refinements: int = 8,
+    history: Optional[list] = None,
 ):
     """Mixed-precision FGMRES with f64 iterative refinement.
+
+    ``history`` (optional list): receives one dict per refinement round —
+    ``{"round", "residual", "inner_tier"}`` with the f64 outer residual at
+    the round start and the precision tier the inner Krylov solve ran at
+    ("f32" or "df64") — the stall/escalation telemetry VERDICT r3 asks the
+    bench to capture.
 
     TPUs emulate f64 at roughly an order of magnitude over f32, so the inner
     Krylov iterations run with the float32 operator ``a_f32`` (whose ~1e-6
@@ -369,6 +382,14 @@ def refined_fgmres_device(
             # absolute outer tolerance -> relative inner target on r
             remaining = tolerance.tolerance / max(float(jnp.linalg.norm(r)), 1e-300)
         inner_tol = max(inner_drop if not escalated else 1e-9, 0.3 * remaining)
+        event = {
+            "round": _refine,
+            "residual": float(f"{res:.3e}"),
+            "inner_tier": "df64" if escalated else "f32",
+        }
+        if history is not None:
+            history.append(event)
+        record_event("refine_round", event)
         dx = fgmres_device(
             inner_op,
             r,
@@ -393,6 +414,13 @@ def refined_fgmres_device(
         res = float(jnp.max(jnp.abs(r)))
     else:
         res = float(jnp.linalg.norm(r)) / beta
+    final = min(res, best_res)
+    record_event("solve_done", {
+        "residual": float(f"{final:.3e}"),
+        "tolerance": tolerance.tolerance,
+        "converged": bool(final < tolerance.tolerance),
+        "escalated": escalated,
+    })
     return x if res <= best_res else best_x
 
 

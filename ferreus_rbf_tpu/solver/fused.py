@@ -30,6 +30,7 @@ from jax import lax
 from ..interpolant_config import FittingAccuracy, FittingAccuracyType
 from ..progress import SolverIteration, emit, progress_from_rel
 from ..ops.fmm import api as fmm_api
+from ..utils.telemetry import record_event
 from .ddm import _solve_bucket
 
 
@@ -428,6 +429,11 @@ def refined_fgmres_fused(
         if tol_abs:
             remaining = tolerance.tolerance / max(float(jnp.linalg.norm(r)), 1e-300)
         inner_tol = max(inner_drop if not escalated else 1e-9, 0.3 * remaining)
+        record_event("refine_round", {
+            "round": _refine,
+            "residual": float(f"{res:.3e}"),
+            "inner_tier": "df64" if escalated else "f32",
+        })
         dx = fgmres_fused(
             fs,
             r,
@@ -444,4 +450,11 @@ def refined_fgmres_fused(
         res = float(jnp.max(jnp.abs(r)))
     else:
         res = float(jnp.linalg.norm(r)) / beta
+    final = min(res, best_res)
+    record_event("solve_done", {
+        "residual": float(f"{final:.3e}"),
+        "tolerance": tolerance.tolerance,
+        "converged": bool(final < tolerance.tolerance),
+        "escalated": escalated,
+    })
     return x if res <= best_res else best_x

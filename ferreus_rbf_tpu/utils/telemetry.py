@@ -33,6 +33,10 @@ class Tracer:
     def __init__(self):
         self._totals = OrderedDict()
         self._counts = OrderedDict()
+        # structured solver events (refinement rounds, stall exits, m-step
+        # diagnostics): list of {"event": name, **payload} dicts in
+        # occurrence order — the bench surfaces these per fit config
+        self.events = []
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -76,6 +80,18 @@ def disable_global_tracer() -> None:
 
 def global_tracer() -> Tracer | None:
     return _GLOBAL_TRACER
+
+
+def record_event(name: str, payload: dict) -> None:
+    """Append a structured event to the global tracer (no-op when disabled).
+
+    Used by the solvers for stall/escalation telemetry (which precision tier
+    each refinement round ran, the f64 outer residual at the round start)
+    and by the fit path for the one-M-step preconditioner diagnostic —
+    VERDICT r3 items 2 and 8."""
+    tracer = _GLOBAL_TRACER
+    if tracer is not None:
+        tracer.events.append({"event": name, **payload})
 
 
 _TRACE_PRINT = os.environ.get("FERREUS_RBF_TPU_TRACE_PRINT", "") not in ("", "0")

@@ -41,7 +41,7 @@ def main():
 
     oh, ol = p2p_pallas.p2p_leaf_pairs_df64(
         th, tl, sh, sl, wp, jnp.asarray(nbr.T), kparams=kp)
-    out = np.asarray(df64.to_f64(oh, ol))
+    out = np.asarray(df64.to_f64(oh, ol)).swapaxes(1, 2)  # (R, nrhs, T) -> (R, T, nrhs)
 
     k = make_kernel(kp, xp=np)
     ref = np.zeros((R, T, nrhs))

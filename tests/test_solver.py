@@ -228,13 +228,16 @@ def test_ddm_threshold_short_circuit():
     assert len(tree.levels) == 1
 
 
-def test_ddm_per_level_leaf_sizing():
+def test_ddm_per_level_leaf_sizing(monkeypatch):
     """Memory autoscaling is PER LEVEL (regression for the >=1M stall):
     only levels whose factor bytes exceed their HBM share shrink their
     leaf threshold; coarser levels (coarse_ratio x fewer points) keep the
     large domains the multilevel Schwarz scheme needs, and the cap
     recovers monotonically as the level point count drops."""
     import jax.numpy as jnp
+
+    # hermetic: the thresholds below assume the default 5.0 GB budget
+    monkeypatch.delenv("FERREUS_RBF_TPU_DDM_MEM_GB", raising=False)
 
     tree = DDMTree.__new__(DDMTree)
     tree.params = DDMParams(leaf_threshold=1024, overlap_quota=0.5)
