@@ -65,6 +65,16 @@ def two_prod(a, b):
     return p, e
 
 
+def sqr_prod(a):
+    """Error-free a * a = p + e with a SINGLE Dekker split (two_prod(a, a)
+    splits the same operand twice — 4 extra VPU ops the near-field r^2
+    chain pays per dim per element)."""
+    p = a * a
+    ah, al = _dekker_split(a)
+    e = ((ah * ah - p) + 2.0 * (ah * al)) + al * al
+    return p, e
+
+
 # ------------------------------------------------------------- df64 algebra
 def from_f64(x):
     """f64 array -> (hi, lo) f32 pair (XLA side only; Pallas has no f64)."""
@@ -105,7 +115,7 @@ def mul_f32(ahi, alo, b):
 
 
 def sqr(hi, lo):
-    p, e = two_prod(hi, hi)
+    p, e = sqr_prod(hi)
     e = e + 2.0 * (hi * lo)
     return quick_two_sum(p, e)
 
@@ -114,12 +124,14 @@ def sqrt(hi, lo):
     """df64 sqrt: f32 seed + one error-corrected Newton step (Karp).
 
     Exact-zero and subnormal-small inputs return 0 cleanly; negative
-    rounding dust is clamped.
+    rounding dust is clamped. The residual uses that h - y^2 is EXACT in
+    f32 (y is the rounded sqrt, so h and y2h agree to ~2^-23 — Sterbenz),
+    replacing the full df64 add chain of the naive form.
     """
     h = jnp.maximum(hi, 0.0)
     y = jnp.sqrt(h)
-    y2h, y2l = two_prod(y, y)
-    rh, _ = add(h, lo, -y2h, -y2l)
+    y2h, y2l = sqr_prod(y)
+    rh = ((h - y2h) - y2l) + lo
     denom = jnp.maximum(2.0 * y, jnp.float32(np.finfo(np.float32).tiny))
     corr = jnp.where(y > 0, rh / denom, 0.0)
     return quick_two_sum(y, corr)

@@ -43,12 +43,13 @@ __all__ = ["FmmTree", "PointOutsideTreeError", "KernelDoesNotSupportGradientsErr
 import os as _os
 
 # df64 near-field accuracy/speed dial: number of slice-product DIAGONALS the
-# split-dot contraction keeps (see p2p_pallas._df64_seg_dots). keep=6 runs
-# 21 bf16 MXU dots per (row, tile) pair for ~1e-13 relative; keep=5 runs 15
-# (~30% fewer) for ~1e-11 — still far below the 1e-8 interpolant-match goal
-# (BASELINE.md). The w-plane slicing (nsl=6) is unchanged either way.
+# split-dot contraction keeps (see p2p_pallas._df64_seg_dots). The w/m-plane
+# slicing follows the dial (nsl = keep — the kernels never read plane
+# j >= keep). keep=6 reaches ~1e-15 relative (measured,
+# scripts/p2p_df64_bench.py); keep=5 drops one stacked dot + one slice plane
+# for ~2e-13 — both far below the 1e-8 interpolant-match goal (BASELINE.md).
 try:
-    _DF64_KEEP = int(_os.environ.get("FERREUS_RBF_TPU_DF64_KEEP", "6"))
+    _DF64_KEEP = int(_os.environ.get("FERREUS_RBF_TPU_DF64_KEEP", "5"))
 except ValueError as _e:
     raise ValueError(
         "FERREUS_RBF_TPU_DF64_KEEP must be an integer >= 1 (number of df64 "
@@ -186,7 +187,7 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
         else:
             wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
         if df:
-            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb)
+            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb, nsl=_DF64_KEEP, keep=_DF64_KEEP)
         else:
             contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
         return mult_acc.at[cells].add(contrib, mode="drop"), None
@@ -204,7 +205,7 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
     for ch_t, pa_t in dev["m2m_groups"]:
         x = mult[ch_t]  # (2^d, cmax, p^d, r); pads gather row 0
         if df:
-            contrib = df64_mod.ozaki_einsum("opq,ocqr->ocpr", m2m_c, x)
+            contrib = df64_mod.ozaki_einsum("opq,ocqr->ocpr", m2m_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
         else:
             contrib = jnp.einsum("opq,ocqr->ocpr", m2m_c, x)
         mult = mult.at[pa_t].add(contrib, mode="drop")  # pads scatter-drop
@@ -242,8 +243,8 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
         def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c):
             x = mult_pad[src_c]  # (g, c_chunk, p^d|k source dim, r)
             if df:
-                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x)
-                return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z)
+                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
             z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
             # contract BOTH the vid and rank axes in one dot:
             # y[p, c, r] = sum_{g,k} U[g,p,k] z[g,c,k,r]
@@ -294,7 +295,7 @@ def _downward_tail(dev, local, w_sorted, w_tiles=None, *, kparams, prec="f64"):
             else:
                 wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
             if df:
-                y = df64_mod.ozaki_einsum("mps,msr->mpr", k, wvals)
+                y = df64_mod.ozaki_einsum("mps,msr->mpr", k, wvals, nsl=_DF64_KEEP, keep=_DF64_KEEP)
             else:
                 y = jnp.einsum("mps,msr->mpr", k, wvals)
             return loc.at[tgt].add(y, mode="drop"), None
@@ -308,7 +309,7 @@ def _downward_tail(dev, local, w_sorted, w_tiles=None, *, kparams, prec="f64"):
     for ch_t, pa_t in dev["l2l_groups"]:
         x = local[pa_t]  # (2^d, cmax, p^d, r); pads gather row 0
         if df:
-            contrib = df64_mod.ozaki_einsum("opq,ocpr->ocqr", m2m_c, x)
+            contrib = df64_mod.ozaki_einsum("opq,ocpr->ocqr", m2m_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
         else:
             contrib = jnp.einsum("opq,ocpr->ocqr", m2m_c, x)
         local = local.at[ch_t].add(contrib, mode="drop")  # pads scatter-drop
@@ -342,7 +343,7 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
             tp.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
         )
         if df:
-            vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc)
+            vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc, nsl=_DF64_KEEP, keep=_DF64_KEEP)
         else:
             # the f32 tier accumulates the whole leaf pass in f32 (halves
             # the HBM traffic of the adds + the unbucket gather); f64 out
@@ -353,7 +354,7 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
         if with_grads and df:
             # split-dot planes instead of the 19-pass emulated-f64 einsum:
             # the L2P leg of the df64 gradient tier
-            grads = df64_mod.ozaki_einsum("ltdp,lpr->ltrd", dw_t, loc)
+            grads = df64_mod.ozaki_einsum("ltdp,lpr->ltrd", dw_t, loc, nsl=_DF64_KEEP, keep=_DF64_KEEP)
         elif with_grads:
             grads = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
         else:
@@ -566,7 +567,7 @@ def _leaf_all(
                 w_sorted[dev["src_tile_idx"]],
                 0.0,
             ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
-        planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
+        planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), _DF64_KEEP)
         w_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nsl+1, 6, nrhs, S)
         th, tl = df64_mod.from_f64(tpts)
         if upairs is not None:
@@ -576,13 +577,13 @@ def _leaf_all(
             pru, ptu, pfu = upairs
             oh, ol = p2p_pallas.p2p_pairlist_df64(
                 th, tl, dev["src_tiles"], dev["src_tiles_lo"],
-                w_planes, pru, ptu, pfu, kparams=kparams, keep=_DF64_KEEP,
+                w_planes, pru, ptu, pfu, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP,
             )
         else:
             oh, ol = _chunk_pair_rows(
                 lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
                     t_args[0], t_args[1], dev["src_tiles"], dev["src_tiles_lo"],
-                    w_planes, nbr_c, kparams=kparams, keep=_DF64_KEEP),
+                    w_planes, nbr_c, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP),
                 (th, tl), nbr_tab,
             )
         # kernel output is (R, nrhs, T): weights-major so nrhs needs no pad
@@ -593,13 +594,13 @@ def _leaf_all(
             w_sorted[dev["src_tile_idx"]],
             0.0,
         ).transpose(0, 2, 1)  # (nsl+1, nrhs, S) f64
-        planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), 6)
+        planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(w_tiles64), (2,), _DF64_KEEP)
         w_planes = jnp.transpose(planes, (1, 0, 2, 3))
         th, tl = df64_mod.from_f64(tpts)
         pru, ptu, pfu = upairs
         oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
             th, tl, dev["src_tiles"], dev["src_tiles_lo"],
-            w_planes, pru, ptu, pfu, kparams=kparams, keep=_DF64_KEEP,
+            w_planes, pru, ptu, pfu, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP,
         )
         vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
         nrhs_g = oh.shape[1]
@@ -649,13 +650,13 @@ def _leaf_all(
             # (_m2p_args only routes here when the pair triple fits SMEM)
             mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
             mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
-            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), 6)
+            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), _DF64_KEEP)
             m_planes = jnp.transpose(planes, (1, 0, 2, 3))
             th, tl = df64_mod.from_f64(tpts)
             oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
                 th.astype(jnp.float32), tl.astype(jnp.float32),
                 dev["node_tiles"], dev["node_tiles_lo"],
-                m_planes, prows, ptiles, pfirst, kparams=kparams, keep=_DF64_KEEP,
+                m_planes, prows, ptiles, pfirst, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP,
             )
             vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
             g = df64_mod.to_f64(goh, gol).reshape(goh.shape[0], d, nrhs, -1)
@@ -663,7 +664,7 @@ def _leaf_all(
         else:
             mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
             mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
-            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), 6)
+            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), _DF64_KEEP)
             m_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nw+1, 6, nrhs, s_node)
             th, tl = df64_mod.from_f64(tpts)
             # pair-list kernel when the (rows, tiles, first) prefetch triple
@@ -675,13 +676,13 @@ def _leaf_all(
                 oh, ol = p2p_pallas.p2p_pairlist_df64(
                     th.astype(jnp.float32), tl.astype(jnp.float32),
                     dev["node_tiles"], dev["node_tiles_lo"],
-                    m_planes, prows, ptiles, pfirst, kparams=kparams, keep=_DF64_KEEP,
+                    m_planes, prows, ptiles, pfirst, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP,
                 )
             else:
                 oh, ol = _chunk_pair_rows(
                     lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
                         t_args[0], t_args[1], dev["node_tiles"], dev["node_tiles_lo"],
-                        m_planes, nbr_c, kparams=kparams, keep=_DF64_KEEP),
+                        m_planes, nbr_c, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP),
                     (th, tl), wtab,
                 )
             vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
@@ -948,8 +949,8 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
             vt_c = vt_pack.astype(ct) if has_vt[i] else None
             x = mult_pad[src_slots.T]  # (g, c_b, q|k, r)
             if df:
-                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x)
-                y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z)
+                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
             else:
                 z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
                 y = jax.lax.dot_general(

@@ -184,7 +184,7 @@ def _df64_slice_rows(mh, ml, nsl):
     return planes
 
 
-def _df64_seg_dots(planes, wp_ref, nsl, keep):
+def _df64_seg_dots(planes, wp, nsl, keep):
     """Exact split dots against the prefetched w planes, diagonal-wise df64
     combine: returns the (nrhs, T) df64 (hi, lo) partial.
 
@@ -200,76 +200,110 @@ def _df64_seg_dots(planes, wp_ref, nsl, keep):
     (T, nrhs=1) output hit "only constant accumulators supported"), and
     the caller needs no RHS padding — 8x less w-plane memory for
     single-RHS solves.
+
+    MXU issue shape (the round-4 throughput fix): instead of one small
+    (nrhs, lc) x (T, lc) dot per PLANE PAIR (21 issues at keep=6 — small
+    dots are issue-latency-bound, the same effect the f32 slab kernel
+    measured), the w planes j = 0..keep-i-1 are stacked along the dot's
+    M axis, so ONE (keep-i)*nrhs-row dot per phi plane i computes every
+    needed product for that plane: keep issues per segment instead of
+    keep*(keep+1)/2, with ~3.5x the MXU row utilisation. Products on
+    diagonal k = i+j share the scale 2^(-8k) * leading, so summing
+    WITHIN a diagonal in f32 rounds at ~2^(-24-8k) of the result
+    (harmless; k = 0 has a single pair and stays exact); only the
+    ``keep`` across-diagonal adds per segment run in df64.
     """
     from .. import df64 as dd
 
     s_len = planes[0].shape[1]
+    nrhs = wp.shape[1]
     nseg = -(-s_len // 256)
     acc_h = None
     acc_l = None
-    for k in range(keep):
-        diag_h = None
-        diag_l = None
-        for i in range(min(k + 1, nsl)):
-            j = k - i
-            if j >= nsl:
-                continue
-            for seg in range(nseg):
-                lo_s = seg * 256
-                hi_s = min(lo_s + 256, s_len)
-                part = jax.lax.dot_general(
-                    wp_ref[0, j, :, lo_s:hi_s].astype(jnp.float32),
+    for seg in range(nseg):
+        lo_s = seg * 256
+        hi_s = min(lo_s + 256, s_len)
+        lc = hi_s - lo_s
+        prods = []
+        for i in range(min(keep, nsl)):
+            nj = min(keep - i, nsl)
+            wblk = (
+                wp[:nj, :, lo_s:hi_s]
+                .astype(jnp.float32)
+                .reshape(nj * nrhs, lc)
+            )
+            prods.append(
+                jax.lax.dot_general(
+                    wblk,
                     planes[i][:, lo_s:hi_s],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
-                )  # (nrhs, T), exact
-                if diag_h is None:
-                    diag_h, diag_l = part, jnp.zeros_like(part)
-                else:
-                    diag_h, diag_l = dd.add(diag_h, diag_l, part, jnp.zeros_like(part))
-        if diag_h is None:
-            continue
-        if acc_h is None:
-            acc_h, acc_l = diag_h, diag_l
-        else:
-            acc_h, acc_l = dd.add(acc_h, acc_l, diag_h, diag_l)
+                )  # (nj * nrhs, T): row block j is w_plane[j] x phi_plane[i]
+            )
+        for k in range(keep):
+            diag = None
+            for i in range(min(k + 1, nsl)):
+                j = k - i
+                if j >= nsl:
+                    continue
+                part = prods[i][j * nrhs : (j + 1) * nrhs]
+                diag = part if diag is None else diag + part
+            if diag is None:
+                continue
+            if acc_h is None:
+                acc_h, acc_l = diag, jnp.zeros_like(diag)
+            else:
+                acc_h, acc_l = dd.add(acc_h, acc_l, diag, jnp.zeros_like(diag))
     return acc_h, acc_l
 
 
-def _df64_r2(th_ref, tl_ref, sh_ref, sl_ref, d, keep_diffs=False):
-    """(T, S) squared distance in df64; optionally also the per-dim df64
-    displacement matrices (t - s) the gradient contraction needs."""
+def _df64_r2(th, tl, sh, sl, d, keep_diffs=False):
+    """(T, S) squared distance in df64 from (T, d) hi/lo targets and (d, S)
+    hi/lo sources (ARRAYS, not refs — the slab kernel slices scratch);
+    optionally also the per-dim df64 displacement matrices (t - s) the
+    gradient contraction needs.
+
+    EFT budget (the VPU dominates this kernel, so every chain is trimmed):
+    the displacement stays UNNORMALISED (|dl| <= ~2^-23 |dh| instead of
+    <= ulp/2 — sqr only loses the ~2^-46 |dh|^2 cross term, below the
+    slice-dot floor), the per-dim squares sum through a two_sum cascade on
+    the hi words with the lo words accumulated in plain f32, and one
+    quick_two_sum at the end renormalises for phi. ~40% fewer VPU ops than
+    per-dim dd.add chains.
+    """
     from .. import df64 as dd
 
-    r2h = None
-    r2l = None
     diffs = []
+    qhs, qls = [], []
     for i in range(d):
-        th = th_ref[0, :, i : i + 1]
-        tl = tl_ref[0, :, i : i + 1]
-        sh = sh_ref[0, i : i + 1, :]
-        sl = sl_ref[0, i : i + 1, :]
-        dh, e = dd.two_sum(th, -sh)
-        dh, dl = dd.quick_two_sum(dh, e + (tl - sl))
+        dh, e = dd.two_sum(th[:, i : i + 1], -sh[i : i + 1, :])
+        dl = e + (tl[:, i : i + 1] - sl[i : i + 1, :])
         if keep_diffs:
             diffs.append((dh, dl))
-        qh, ql = dd.sqr(dh, dl)
-        r2h, r2l = (qh, ql) if r2h is None else dd.add(r2h, r2l, qh, ql)
+        qh, ql = dd.sqr_prod(dh)
+        qhs.append(qh)
+        qls.append(ql + 2.0 * (dh * dl))
+    r2h, r2l = qhs[0], qls[0]
+    for i in range(1, d):
+        r2h, e = dd.two_sum(r2h, qhs[i])
+        r2l = r2l + (e + qls[i])
+    r2h, r2l = dd.quick_two_sum(r2h, r2l)
     return r2h, r2l, diffs
 
 
-def _df64_tile_acc(th_ref, tl_ref, sh_ref, sl_ref, wp_ref, *, phi_df64, d, nsl, keep):
+def _df64_tile_acc(th, tl, sh, sl, wp, *, phi_df64, d, nsl, keep):
     """Shared df64 near-field tile math: df64 distances/phi on the VPU +
     exact bf16 split-dot contraction on the MXU (see ops/df64.py).
-    Returns the (nrhs, T) df64 (hi, lo) partial for one (row, tile) pair."""
-    r2h, r2l, _ = _df64_r2(th_ref, tl_ref, sh_ref, sl_ref, d)
+    Returns the (nrhs, T) df64 (hi, lo) partial for one (row, tile) pair.
+    All operands are arrays: th/tl (T, d), sh/sl (d, S), wp (nsl, nrhs, S)."""
+    r2h, r2l, _ = _df64_r2(th, tl, sh, sl, d)
     ph, plo = phi_df64(r2h, r2l)  # (T, S) df64
     planes = _df64_slice_rows(ph, plo, nsl)
-    return _df64_seg_dots(planes, wp_ref, nsl, keep)
+    return _df64_seg_dots(planes, wp, nsl, keep)
 
 
-def _df64_tile_acc_grad(th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+def _df64_tile_acc_grad(th, tl, sh, sl, wp,
                         *, phi_df64, gscale_df64, d, nsl, keep):
     """Values AND gradients for one (row, tile) pair in df64.
 
@@ -280,14 +314,14 @@ def _df64_tile_acc_grad(th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
     """
     from .. import df64 as dd
 
-    r2h, r2l, diffs = _df64_r2(th_ref, tl_ref, sh_ref, sl_ref, d, keep_diffs=True)
+    r2h, r2l, diffs = _df64_r2(th, tl, sh, sl, d, keep_diffs=True)
     ph, plo = phi_df64(r2h, r2l)
-    vh, vl = _df64_seg_dots(_df64_slice_rows(ph, plo, nsl), wp_ref, nsl, keep)
+    vh, vl = _df64_seg_dots(_df64_slice_rows(ph, plo, nsl), wp, nsl, keep)
     gh, gl = gscale_df64(r2h, r2l)
     g_hs, g_ls = [], []
     for dh, dl in diffs:
         mh, ml = dd.mul(gh, gl, dh, dl)
-        ah, al = _df64_seg_dots(_df64_slice_rows(mh, ml, nsl), wp_ref, nsl, keep)
+        ah, al = _df64_seg_dots(_df64_slice_rows(mh, ml, nsl), wp, nsl, keep)
         g_hs.append(ah)
         g_ls.append(al)
     return vh, vl, jnp.concatenate(g_hs, axis=0), jnp.concatenate(g_ls, axis=0)
@@ -304,7 +338,7 @@ def _pair_kernel_df64(nbr_ref, th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
 
     u = pl.program_id(1)
     acc_h, acc_l = _df64_tile_acc(
-        th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+        th_ref[0], tl_ref[0], sh_ref[0], sl_ref[0], wp_ref[0],
         phi_df64=phi_df64, d=d, nsl=nsl, keep=keep,
     )
 
@@ -334,7 +368,7 @@ def _pairlist_kernel_df64(rows_ref, tiles_ref, first_ref, th_ref, tl_ref,
 
     i = pl.program_id(0)
     acc_h, acc_l = _df64_tile_acc(
-        th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+        th_ref[0], tl_ref[0], sh_ref[0], sl_ref[0], wp_ref[0],
         phi_df64=phi_df64, d=d, nsl=nsl, keep=keep,
     )
     first = first_ref[i]
@@ -719,7 +753,7 @@ def _pairlist_kernel_df64_grad(rows_ref, tiles_ref, first_ref, th_ref, tl_ref,
 
     i = pl.program_id(0)
     vh, vl, gah, gal = _df64_tile_acc_grad(
-        th_ref, tl_ref, sh_ref, sl_ref, wp_ref,
+        th_ref[0], tl_ref[0], sh_ref[0], sl_ref[0], wp_ref[0],
         phi_df64=phi_df64, gscale_df64=gscale_df64, d=d, nsl=nsl, keep=keep,
     )
     first = first_ref[i]
@@ -831,3 +865,150 @@ def p2p_rows(tpts_rows, src_pts_t, src_w_t, *, kparams, interpret=False):
         src_pts_t.astype(jnp.float32),
         src_w_t.astype(jnp.float32),
     )
+
+
+def _slab_kernel_df64(nbr_ref, th_ref, tl_ref, sh_hbm, sl_hbm, wp_hbm,
+                      oh_ref, ol_ref, sh_scr, sl_scr, wp_scr, sems,
+                      *, phi_df64, d, nsl, keep, u_max, s_leaf):
+    """f64-grade near field, ONE grid step per target row.
+
+    The row's whole u-list — coord tiles (hi + lo) and pre-sliced w planes —
+    is DMA-gathered into double-buffered VMEM slabs while the previous row
+    computes; the per-tile df64 math (identical to
+    :func:`_pair_kernel_df64`) then runs tile-by-tile with the (nrhs, T)
+    df64 accumulator in REGISTERS. Versus the dense (R, U) pair grid this
+    removes (U-1)/U of the grid steps, all out-block VMEM revisits, and the
+    repeated target-block fetches — the same restructuring that took the
+    f32 path from 22.5 ms to 12 ms at config-2 scale.
+    """
+    from .. import df64 as dd
+
+    i = pl.program_id(0)
+    r_tot = pl.num_programs(0)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    two = jnp.int32(2)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = one - slot
+    s_leaf_c = jnp.int32(s_leaf)
+
+    def dma_triple(row, sl_, u):
+        l = nbr_ref[u, row]
+        off = jax.lax.mul(u, s_leaf_c)
+        return (
+            pltpu.make_async_copy(
+                sh_hbm.at[l], sh_scr.at[sl_, :, pl.ds(off, s_leaf)],
+                sems.at[sl_, u, zero],
+            ),
+            pltpu.make_async_copy(
+                sl_hbm.at[l], sl_scr.at[sl_, :, pl.ds(off, s_leaf)],
+                sems.at[sl_, u, one],
+            ),
+            pltpu.make_async_copy(
+                wp_hbm.at[l], wp_scr.at[sl_, :, :, pl.ds(off, s_leaf)],
+                sems.at[sl_, u, two],
+            ),
+        )
+
+    def issue(row, sl_):
+        # i32 counter carried explicitly (x64 induction vars trip a
+        # promotion recursion in the kernel tracer, cf. _slab_rows_kernel)
+        def one_u(_i, u32):
+            for dma in dma_triple(row, sl_, u32):
+                dma.start()
+            return u32 + one
+
+        jax.lax.fori_loop(0, u_max, one_u, zero)
+
+    @pl.when(i == 0)
+    def _():
+        issue(jnp.int32(0), slot)
+
+    @pl.when(i + 1 < r_tot)
+    def _():
+        issue(i + one, nxt)
+
+    th = th_ref[0]
+    tl = tl_ref[0]
+    nrhs = oh_ref.shape[1]
+    t = th.shape[0]
+
+    def u_body(_i, carry):
+        acc_h, acc_l, u32 = carry
+        for dma in dma_triple(i, slot, u32):
+            dma.wait()
+        off = jax.lax.mul(u32, s_leaf_c)
+        sh = sh_scr[slot, :, pl.ds(off, s_leaf)]
+        sl = sl_scr[slot, :, pl.ds(off, s_leaf)]
+        wp = wp_scr[slot, :, :, pl.ds(off, s_leaf)]
+        ph, plo = _df64_tile_acc(
+            th, tl, sh, sl, wp, phi_df64=phi_df64, d=d, nsl=nsl, keep=keep,
+        )
+        acc_h, acc_l = dd.add(acc_h, acc_l, ph, plo)
+        return acc_h, acc_l, u32 + one
+
+    acc_h, acc_l, _ = jax.lax.fori_loop(
+        0, u_max, u_body,
+        (jnp.zeros((nrhs, t), jnp.float32), jnp.zeros((nrhs, t), jnp.float32),
+         zero),
+    )
+    oh_ref[0] = acc_h
+    ol_ref[0] = acc_l
+
+
+@functools.partial(jax.jit, static_argnames=("kparams", "nsl", "keep", "interpret"))
+def p2p_leaf_slab_df64(tgt_hi, tgt_lo, src_hi, src_lo, w_planes, nbr_tab,
+                       *, kparams, nsl=6, keep=6, interpret=False):
+    """f64-grade near field with in-kernel slab DMA (one program per row).
+
+    Operand layout as :func:`p2p_leaf_pairs_df64`: tgt_hi/lo (R, T, d) f32;
+    src_hi/lo (L+1, d_pad, S) f32 with d_pad a multiple of 8 and S a
+    multiple of 128 (manual DMA slices must be tile-aligned); w_planes
+    (L+1, nsl, nrhs, S) bf16 pre-sliced per tile; nbr_tab (U, R) int32
+    sentinel-padded (sentinel tile = zero weights). Returns (R, nrhs, T)
+    hi/lo f32 pairs — combine with ``df64.to_f64`` and swap the last axes.
+    Replaces the reference's f64 near field (``bbfmm.rs:1162``).
+    """
+    from .. import kernels as _k
+
+    r, t, d = tgt_hi.shape
+    _, d_pad, s = src_hi.shape
+    nrhs = w_planes.shape[2]
+    u = nbr_tab.shape[0]
+    if d_pad % 8 or s % 128:
+        raise ValueError(f"df64 slab kernel needs aligned tiles, got ({d_pad}, {s})")
+    phi = _k.make_phi_df64(kparams)
+    body = functools.partial(
+        _slab_kernel_df64, phi_df64=phi, d=d, nsl=nsl, keep=keep,
+        u_max=u, s_leaf=s,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, t, d), lambda i, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # coord hi tiles stay off-pipeline
+            pl.BlockSpec(memory_space=pl.ANY),  # coord lo tiles
+            pl.BlockSpec(memory_space=pl.ANY),  # w planes
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nrhs, t), lambda i, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+            pl.BlockSpec((1, nrhs, t), lambda i, nbr: (i, i * 0, i * 0), memory_space=_VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d_pad, u * s), jnp.float32),
+            pltpu.VMEM((2, d_pad, u * s), jnp.float32),
+            pltpu.VMEM((2, nsl, nrhs, u * s), w_planes.dtype),
+            pltpu.SemaphoreType.DMA((2, u, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+            jax.ShapeDtypeStruct((r, nrhs, t), jnp.float32),
+        ),
+        interpret=interpret,
+    )(nbr_tab, tgt_hi, tgt_lo, src_hi, src_lo, w_planes)

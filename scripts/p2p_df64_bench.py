@@ -21,6 +21,7 @@ def main():
     from ferreus_rbf_tpu.ops.kernels import KernelParams, KernelType, make_kernel
 
     kt = KernelType[sys.argv[1]] if len(sys.argv) > 1 else KernelType.LinearRbf
+    keep = int(os.environ.get("FERREUS_RBF_TPU_DF64_KEEP", "6"))
     R, T, U, S, d, nrhs = 64, 128, 27, 256, 3, 8
     L = 512
     rng = np.random.default_rng(0)
@@ -36,11 +37,17 @@ def main():
     th, tl = df64.from_f64(jnp.asarray(tgt))
     sh, sl = df64.from_f64(jnp.asarray(src))
     wh, wl = df64.from_f64(jnp.asarray(w))
-    planes, _ = df64.slice_planes(wh, wl, (2,), 6)  # (6, L+1, nrhs, S)
+    planes, _ = df64.slice_planes(wh, wl, (2,), keep)  # (keep, L+1, nrhs, S)
     wp = jnp.transpose(planes, (1, 0, 2, 3))
 
-    oh, ol = p2p_pallas.p2p_leaf_pairs_df64(
-        th, tl, sh, sl, wp, jnp.asarray(nbr.T), kparams=kp)
+    use_slab = os.environ.get("FERREUS_DF64_SLAB", "") not in ("", "0")
+    kern = (p2p_pallas.p2p_leaf_slab_df64 if use_slab
+            else p2p_pallas.p2p_leaf_pairs_df64)
+    if use_slab:  # manual DMA needs tile-aligned (8-sublane) coord tiles
+        sh = jnp.pad(sh, ((0, 0), (0, 8 - d), (0, 0)))
+        sl = jnp.pad(sl, ((0, 0), (0, 8 - d), (0, 0)))
+    oh, ol = kern(
+        th, tl, sh, sl, wp, jnp.asarray(nbr.T), kparams=kp, nsl=keep, keep=keep)
     out = np.asarray(df64.to_f64(oh, ol)).swapaxes(1, 2)  # (R, nrhs, T) -> (R, T, nrhs)
 
     k = make_kernel(kp, xp=np)
@@ -55,8 +62,8 @@ def main():
             ref[r] += phi @ w[l].T
             absref[r] += np.abs(phi) @ np.abs(w[l].T)
     err = np.max(np.abs(out - ref) / np.maximum(absref, 1e-300))
-    print(f"{kt.value}: df64 kernel rel err (vs sum-of-|terms|): {err:.3e}")
-    assert err < 5e-13, err
+    print(f"{kt.value}: df64 kernel (keep={keep}) rel err (vs sum-of-|terms|): {err:.3e}")
+    assert err < (5e-13 if keep >= 6 else 5e-11), err
 
     # timing at config-2 scale (chained to subtract the tunnel cost)
     R2 = 1024
@@ -68,8 +75,8 @@ def main():
     @jax.jit
     def many(t0):
         def body(t_c, _):
-            o_h, o_l = p2p_pallas.p2p_leaf_pairs_df64(
-                t_c, tl2, sh, sl, wp, nbr2, kparams=kp)
+            o_h, o_l = kern(
+                t_c, tl2, sh, sl, wp, nbr2, kparams=kp, nsl=keep, keep=keep)
             # feed the output back so the call cannot be hoisted out of
             # the scan as loop-invariant
             return t_c * (1.0 + 0.0 * o_h[0, 0, 0]), o_h[0, 0, 0]

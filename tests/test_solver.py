@@ -443,3 +443,72 @@ def test_host_refactor_indefinite_block_falls_back_spd():
     # lower-triangular with strictly positive diagonal = usable SPD factor
     assert np.allclose(l, np.tril(l))
     assert (np.diag(l) > 0).all()
+
+
+def test_stall_exit_then_escalation_telemetry():
+    """Pins the round-3 stall machinery end to end (VERDICT r3 item 7):
+    an inner operator with a deterministic accuracy floor must (a) trip
+    ``stall_cycle_factor`` inside the f32 rounds instead of grinding all
+    20 restarts at the floor (the 3M-point failure mode: ~100 iterations
+    x ~20 s each making no progress), (b) escalate the inner operator to
+    the f64-grade tier, and (c) still converge — with every step visible
+    in the ``history`` list and the telemetry event stream the bench
+    records. Scale-shaped: n = 2000, well-conditioned so convergence
+    isolates the stall logic rather than the Krylov method."""
+    import jax.numpy as jnp
+
+    from ferreus_rbf_tpu.solver.fgmres import refined_fgmres_device
+    from ferreus_rbf_tpu.utils import telemetry
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    diag = np.linspace(1.0, 3.0, n)
+    a = np.diag(diag)  # benign spectrum: the TRUE system is easy
+    a_dev = jnp.asarray(a)
+    x_true = rng.standard_normal((n, 1))
+    b = a @ x_true
+
+    def a_f64(v):
+        return a_dev @ v
+
+    # Broken "f32" operator: A32 = A (I + 1.5 D) with D a random diagonal
+    # in [-1, 1]. Right-preconditioned by the exact inverse, the inner
+    # operator's spectrum {1 + 1.5 d_i} spreads through zero — restarted
+    # GMRES(5) cannot contract it, which is exactly the stall the
+    # ill-conditioned 3M fits showed (an f32 operator whose noise the
+    # preconditioner amplifies through near-singular modes).
+    dvec = jnp.asarray(1.0 + 1.5 * rng.uniform(-1.0, 1.0, size=(n, 1)))
+
+    def a_broken32(v):
+        return a_dev @ (dvec * v)
+
+    m_inv = jnp.asarray(np.diag(1.0 / diag))
+
+    def m(v):
+        return m_inv @ v
+
+    history = []
+    tracer = telemetry.enable_global_tracer()
+    try:
+        sol = refined_fgmres_device(
+            a_f64, a_broken32, jnp.asarray(b), m=m,
+            max_outer_iterations=20, max_inner_iterations=5,
+            tolerance=FittingAccuracy(1e-10, FittingAccuracyType.Relative),
+            max_refinements=8, history=history,
+        )
+        events = list(tracer.events)
+    finally:
+        telemetry.disable_global_tracer()
+
+    res = np.linalg.norm(a @ np.asarray(sol) - b) / np.linalg.norm(b)
+    assert res < 1e-10, res
+    # (a) the floored rounds tripped the stall exit (no 20-restart grind)
+    assert any(e["event"] == "stall_exit" for e in events), events
+    # (b) rounds escalated f32 -> df64 and the escalation stuck
+    tiers = [h["inner_tier"] for h in history]
+    assert tiers[0] == "f32", tiers
+    assert "df64" in tiers, tiers
+    assert tiers[tiers.index("df64"):] == ["df64"] * tiers.count("df64"), tiers
+    # (c) the final solve_done event reports convergence at tolerance
+    done = [e for e in events if e["event"] == "solve_done"]
+    assert done and done[-1]["converged"] is True, done
