@@ -80,7 +80,7 @@ def _roofline_config2(tree, binned, n, nrhs, times_s):
     s_pad = tree.smax_pad
     pair_flops = float(true_nbrs) * tmax * s_pad * (3 * 3 + 4 + 2 * nrhs)
     m2l_flops = 0.0
-    for u_stack, vt_stack, src_r, level_cells in tree._dev["m2l_levels"]:
+    for u_stack, vt_stack, src_r, _src_cells, level_cells in tree._dev["m2l_levels"]:
         g, pd_, k = u_stack.shape
         c = src_r.shape[0] * src_r.shape[1]
         m2l_flops += 2.0 * g * c * k * (pd_ + (vt_stack.shape[2] if vt_stack is not None else 0)) * nrhs

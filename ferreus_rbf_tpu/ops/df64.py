@@ -273,6 +273,26 @@ def ozaki_dot(a64, b64, dimension_numbers, nsl=6, keep=None):
     partials accumulate in an f64 output tensor (output-sized, so the f64
     emulation cost is negligible). Returns (B, M, N)-shaped f64 restored to
     dot_general's natural output order by the caller.
+
+    Plane-pair products on diagonal k = i+j share the scale 2^(-8k) x
+    leading, so they may sum in f32 before the f64 upcast (rounding
+    ~2^(-24-8k) of the result — harmless for k >= 1; k = 0 is a single
+    exact pair). Three MXU issue strategies exploit that, picked by shape
+    (mirrors the plane-stacking the Pallas near-field kernels use,
+    ``p2p_pallas._df64_seg_dots``):
+
+    * **contraction-stacked** (L small: keep*L <= 256): diagonal k's pairs
+      concatenate along the contraction axis — ONE dot per diagonal whose
+      f32 accumulation is still EXACT (<= 256 stacked terms). ``keep``
+      MXU passes instead of keep*(keep+1)/2, each still inside one
+      128-lane tile (e.g. the rank-19 M2L expansion dot).
+    * **M-stacked** (nsl*M <= 128): all a-planes concatenate along M once;
+      ONE dot per b-plane computes every (i, j) block for that j in rows
+      the MXU pads away anyway — the big b operand is read keep times
+      instead of once per pair (the rank-compression M2L dot: M = 19).
+    * **N-stacked** (nsl*N <= 128): mirror image for small N (the P2M
+      anterpolation: N = nrhs).
+    * fallback: one dot per plane pair, f32 sums within a diagonal.
     """
     (ac, bc), (ab, bb) = dimension_numbers
     keep = nsl if keep is None else keep
@@ -294,30 +314,79 @@ def ozaki_dot(a64, b64, dimension_numbers, nsl=6, keep=None):
     a_planes, _ = slice_planes(ah, al, (3,), nsl)  # (nsl, B, M, g, lc)
     b_planes, _ = slice_planes(bh, bl, (3,), nsl)
 
-    # Diagonal-wise accumulation: plane-pair products on diagonal k = i+j
-    # share the scale 2^(-8k) x leading, so summing WITHIN a diagonal in
-    # f32 rounds at ~2^(-24-8k) of the result — harmless for k >= 1, and
-    # k = 0 has a single (exact) pair. Only ``keep`` f64 upcasts+adds of
-    # the (B, g, M, N) partial remain instead of one per pair (21 at
-    # keep=6) — the f64 partial traffic dominated the df64 M2L pass.
-    out = None
-    for k in range(keep):
-        diag = None
-        for i in range(min(k + 1, nsl)):
-            j = k - i
-            if j >= nsl:
+    if g == 1 and keep * lc <= _MAX_ACCUM:
+        # contraction-stacked: one EXACT dot per diagonal
+        af = a_planes[:, :, :, 0, :]  # (nsl, B, M, lc)
+        bf = b_planes[:, :, :, 0, :]
+        out = None
+        for k in range(keep):
+            pairs = [(i, k - i) for i in range(min(k + 1, nsl)) if k - i < nsl]
+            if not pairs:
                 continue
+            ak = (af[pairs[0][0]] if len(pairs) == 1
+                  else jnp.concatenate([af[i] for i, _ in pairs], axis=2))
+            bk = (bf[pairs[0][1]] if len(pairs) == 1
+                  else jnp.concatenate([bf[j] for _, j in pairs], axis=2))
             part = jax.lax.dot_general(
-                a_planes[i].transpose(0, 2, 1, 3),  # (B, g, M, lc)
-                b_planes[j].transpose(0, 2, 1, 3),  # (B, g, N, lc)
+                ak, bk, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (B, M, N), exact in f32
+            d64 = part.astype(jnp.float64)
+            out = d64 if out is None else out + d64
+        return out, a_free, b_free
+
+    stack_axis = None
+    if nsl * M <= 128:
+        stack_axis = "m"
+    elif nsl * N <= 128:
+        stack_axis = "n"
+    diags = [None] * keep
+    if stack_axis == "m":
+        A = a_planes.transpose(1, 3, 0, 2, 4).reshape(B, g, nsl * M, lc)
+        for j in range(keep):
+            part = jax.lax.dot_general(
+                A, b_planes[j].transpose(0, 2, 1, 3),
                 dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
-            )  # (B, g, M, N), exact in f32
-            diag = part if diag is None else diag + part
-        if diag is None:
+            )  # (B, g, nsl*M, N)
+            for i in range(min(keep - j, nsl)):
+                blk = part[:, :, i * M : (i + 1) * M]
+                k = i + j
+                diags[k] = blk if diags[k] is None else diags[k] + blk
+    elif stack_axis == "n":
+        Bst = b_planes.transpose(1, 3, 0, 2, 4).reshape(B, g, nsl * N, lc)
+        for i in range(keep):
+            part = jax.lax.dot_general(
+                a_planes[i].transpose(0, 2, 1, 3), Bst,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (B, g, M, nsl*N)
+            for j in range(min(keep - i, nsl)):
+                blk = part[..., j * N : (j + 1) * N]
+                k = i + j
+                diags[k] = blk if diags[k] is None else diags[k] + blk
+    else:
+        for k in range(keep):
+            for i in range(min(k + 1, nsl)):
+                j = k - i
+                if j >= nsl:
+                    continue
+                part = jax.lax.dot_general(
+                    a_planes[i].transpose(0, 2, 1, 3),  # (B, g, M, lc)
+                    b_planes[j].transpose(0, 2, 1, 3),  # (B, g, N, lc)
+                    dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (B, g, M, N), exact in f32
+                diags[k] = part if diags[k] is None else diags[k] + part
+    out = None
+    for dk in diags:
+        if dk is None:
             continue
-        d64 = diag.astype(jnp.float64)
+        d64 = dk.astype(jnp.float64)
         out = d64 if out is None else out + d64
     out = out.sum(axis=1)  # exact: f64 accumulation of the diagonal partials
     return out, a_free, b_free

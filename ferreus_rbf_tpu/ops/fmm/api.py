@@ -71,17 +71,19 @@ def _next_pow2(n) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
-def _chunk_m2l_level(u_stack, vt_stack, src_tab, level_cells, nnodes):
+def _chunk_m2l_level(u_stack, vt_stack, src_tab, level_cells, nnodes,
+                     src_cells):
     """Device M2L level entry, target-slot layout, chunked over target slots.
 
     ``src_tab`` is (g, C): for m2l vector id g and target slot c it holds
-    the SOURCE cell index (or the zero-multipole sentinel) — well-defined
-    because a vector id names a unique relative offset, so each (vid, tgt)
-    pair has at most one source. This shape lets the downward pass reduce
-    the vid axis INSIDE one dot_general (no per-pair intermediate, no
-    non-unique scatter — the r1 profile showed the scatter-add was 11 ms of
-    the 18.6 ms level cost). The slot axis is split into chunks so the
-    gathered (g, C_chunk, p^d, r) multipole transient stays HBM-bounded.
+    the LOCAL index into ``src_cells`` of the source cell (sentinel = the
+    zero pad row) — well-defined because a vector id names a unique
+    relative offset, so each (vid, tgt) pair has at most one source. This
+    shape lets the downward pass reduce the vid axis INSIDE one dot_general
+    (no per-pair intermediate, no non-unique scatter — the r1 profile
+    showed the scatter-add was 11 ms of the 18.6 ms level cost). The slot
+    axis is split into chunks so the gathered (g, C_chunk, p^d, r)
+    multipole transient stays HBM-bounded.
     """
     g, c_pad = src_tab.shape
     # elements per chunked gather. Sized for the WORST precision mode: an
@@ -100,6 +102,7 @@ def _chunk_m2l_level(u_stack, vt_stack, src_tab, level_cells, nnodes):
         jnp.asarray(u_stack),
         None if vt_stack is None else jnp.asarray(vt_stack),
         jnp.asarray(np.ascontiguousarray(src_r)),
+        jnp.asarray(src_cells),
         jnp.asarray(level_cells),
     )
 
@@ -236,12 +239,20 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
     mult_pad = jnp.concatenate(
         [mult_c, jnp.zeros((1,) + mult_c.shape[1:], ct)], axis=0
     )
-    for u_stack, vt_stack, src_r, level_cells in dev["m2l_levels"]:
+    for u_stack, vt_stack, src_r, src_cells, level_cells in dev["m2l_levels"]:
         u_c = u_stack.astype(ct)  # (g, p^d, k)
         vt_c = None if vt_stack is None else vt_stack.astype(ct)  # (g, k, p^d)
+        # Each level gathers its sources ONCE into a compact (S+1, p^d, r)
+        # block (sentinel = the zero pad row); slot chunks then re-gather
+        # from the compact block, not the whole-tree multipole table. (An
+        # all-pairs rank pre-compression of this block was tried in r4 and
+        # REGRESSED 2x: the per-slot batched middle-axis gather of the
+        # rank-k table compiles to a slow XLA gather, and the split-dot
+        # flops are identical either way — see scripts/profile_df64_passes.)
+        mult_src = mult_pad[src_cells]  # (S+1, p^d, r): each source ONCE
 
-        def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c):
-            x = mult_pad[src_c]  # (g, c_chunk, p^d|k source dim, r)
+        def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c, mult_src=mult_src):
+            x = mult_src[src_c]  # (g, c_chunk, p^d|k source dim, r)
             if df:
                 z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
                 return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
@@ -795,10 +806,12 @@ def _p2p_bucketed_xla(kernel, tpts, src_tiles, w_tiles, nbr_blk, ct, ecs):
     return vals.reshape((rb,) + vals.shape[2:])
 
 
-@_partial(jax.jit, static_argnames=("mesh", "kparams", "d", "p", "n_pad", "prec", "ecs"))
+@_partial(jax.jit, static_argnames=(
+    "mesh", "kparams", "d", "p", "n_pad", "prec", "ecs", "use_pallas"))
 def _matvec_fused_sharded(
     mesh, dev, weights, targets, tgt_idx, tgt_mask, tcells, nbr_tab, wtab,
     inv_row, inv_slot, *, kparams, d, p, n_pad, prec, ecs=1024,
+    use_pallas=False,
 ):
     """Upward + downward + ROW-SHARDED leaf pass as one program.
 
@@ -813,9 +826,14 @@ def _matvec_fused_sharded(
     fraction of the per-matvec cost; cf. the rayon leaf loops at
     ``bbfmm.rs:1123-1357``).
 
-    The leaf math uses the bucketed-tile XLA formulation
-    (:func:`_p2p_bucketed_xla`), identical per row for any row partition,
-    so an n-device run is bitwise equal to the same program on one device.
+    With ``use_pallas`` (TPU backends) the per-device near field runs the
+    SAME fused Pallas kernels as the single-chip path — slab/pair-grid P2P
+    and the count-aware fused M2P for f32, the dense-grid df64 kernels for
+    the f64-grade tier — so multi-chip keeps single-chip kernel speed
+    (VERDICT r3 item 6). Otherwise the leaf math uses the bucketed-tile
+    XLA formulation (:func:`_p2p_bucketed_xla`). Per-row reduction order
+    is row-independent in both forms, so an n-device run is bitwise equal
+    to the same program on one device.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -836,7 +854,7 @@ def _matvec_fused_sharded(
     levels = dev["m2l_levels"]
     can_shard_m2l = bool(levels) and all(
         (src_r.shape[0] * src_r.shape[2]) % nsp == 0
-        for (_u, _v, src_r, _c) in levels
+        for (_u, _v, src_r, _s, _c) in levels
     )
     if can_shard_m2l:
         mult_c = mult.astype(ct)
@@ -854,10 +872,20 @@ def _matvec_fused_sharded(
 
     # near-field weight tiles in kernel layout
     w_tiles = w_tiles_pre.transpose(0, 2, 1)  # (L+1, nrhs, S)
+    pallas_nf = use_pallas and prec == "f32"
+    pallas_df = use_pallas and df
+    w_planes = None
+    if pallas_df:
+        w_tiles64 = w_tiles_pre.astype(jnp.float64).transpose(0, 2, 1)
+        pl, _ = df64_mod.slice_planes(
+            *df64_mod.from_f64(w_tiles64), (2,), _DF64_KEEP)
+        w_planes = jnp.transpose(pl, (1, 0, 2, 3))  # (L+1, nsl, nrhs, S)
 
     # multipole tiles for the M2P leg (sentinel row = zero weights)
+    m_planes = None
+    wcnt = None
     if wtab is not None:
-        wtab_dense = wtab[0]
+        wtab_dense, wcnt = wtab[0], wtab[1]
         nw = dev["node_tiles"].shape[0] - 1
         s_node = dev["node_tiles"].shape[2]
         nnodes = mult.shape[1]
@@ -865,34 +893,86 @@ def _matvec_fused_sharded(
         mgather = mult[dev["wtile_cells"]].transpose(0, 2, 1).astype(ct)
         mtiles = jnp.zeros((nw + 1, nrhs, s_node), ct)
         mtiles = mtiles.at[:nw, :, :nnodes].set(mgather)
+        if pallas_df:
+            pl, _ = df64_mod.slice_planes(
+                *df64_mod.from_f64(mtiles), (2,), _DF64_KEEP)
+            m_planes = jnp.transpose(pl, (1, 0, 2, 3))
     else:
         wtab_dense = None
         mtiles = None
 
-    def leaf_block(tgt_idx_b, tgt_mask_b, tcells_b, nbr_b, wtab_b):
+    def _pallas_near(tpts_b, tiles, tiles_lo, w32, wpl, nbr_b, cnt_b):
+        """Per-device near-field contraction via the fused Pallas kernels
+        (same kernel selection rules as the single-chip `_leaf_all`)."""
+        if pallas_nf:
+            if cnt_b is not None:
+                (o,) = _chunk_pair_rows(
+                    lambda t_args, nbr_c: (p2p_pallas.p2p_leaf_fused(
+                        t_args[0], tiles, w32, nbr_c, t_args[1],
+                        kparams=kparams),),
+                    (tpts_b.astype(jnp.float32), cnt_b), nbr_b,
+                )
+                return o
+            u_max = nbr_b.shape[0]
+            nrhs_p = -(-w32.shape[1] // 8) * 8
+            slab_bytes = 2 * (8 + nrhs_p) * u_max * tiles.shape[2] * 4
+            kfn = (p2p_pallas.p2p_leaf_slab
+                   if slab_bytes <= (4 << 20) and u_max <= 64
+                   else p2p_pallas.p2p_leaf_pairs)
+            (o,) = _chunk_pair_rows(
+                lambda t_args, nbr_c: (kfn(
+                    t_args[0], tiles, w32, nbr_c, kparams=kparams),),
+                (tpts_b.astype(jnp.float32),), nbr_b,
+            )
+            return o
+        th, tl = df64_mod.from_f64(tpts_b)
+        oh, ol = _chunk_pair_rows(
+            lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
+                t_args[0], t_args[1], tiles, tiles_lo, wpl, nbr_c,
+                kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP),
+            (th, tl), nbr_b,
+        )
+        return df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
+
+    def leaf_block(tgt_idx_b, tgt_mask_b, tcells_b, nbr_b, wtab_b, wcnt_b):
         _, vals_b, _ = _l2p_impl(
             dev, targets, tgt_idx_b, tgt_mask_b, tcells_b, local,
             d=d, p=p, with_grads=False, prec=prec, ecs=ecs,
         )
         tpts_b = targets[tgt_idx_b]
-        near = _p2p_bucketed_xla(
-            kernel, tpts_b, dev["src_tiles"], w_tiles, nbr_b, ct, ecs
-        )
+        if pallas_nf or pallas_df:
+            near = _pallas_near(
+                tpts_b, dev["src_tiles"], dev["src_tiles_lo"],
+                w_tiles.astype(jnp.float32) if pallas_nf else None,
+                w_planes, nbr_b, None,
+            )
+        else:
+            near = _p2p_bucketed_xla(
+                kernel, tpts_b, dev["src_tiles"], w_tiles, nbr_b, ct, ecs
+            )
         vals_b = vals_b + near.astype(vals_b.dtype)
         if wtab_b is not None:
-            far = _p2p_bucketed_xla(
-                kernel, tpts_b, dev["node_tiles"], mtiles, wtab_b, ct, ecs
-            )
+            if pallas_nf or pallas_df:
+                far = _pallas_near(
+                    tpts_b, dev["node_tiles"], dev["node_tiles_lo"],
+                    mtiles.astype(jnp.float32) if pallas_nf else None,
+                    m_planes, wtab_b, wcnt_b if pallas_nf else None,
+                )
+            else:
+                far = _p2p_bucketed_xla(
+                    kernel, tpts_b, dev["node_tiles"], mtiles, wtab_b, ct, ecs
+                )
             vals_b = vals_b + far.astype(vals_b.dtype)
         return vals_b
 
     row_spec = P("sp")
     col_spec = P(None, "sp")  # (U, R) tables shard their ROW axis = columns
     in_specs = (row_spec, row_spec, row_spec, col_spec,
-                col_spec if wtab_dense is not None else None)
-    args = (tgt_idx, tgt_mask, tcells, nbr_tab, wtab_dense)
+                col_spec if wtab_dense is not None else None,
+                row_spec if wtab_dense is not None else None)
+    args = (tgt_idx, tgt_mask, tcells, nbr_tab, wtab_dense, wcnt)
     if wtab_dense is None:
-        fn = lambda a, b, c, nb: leaf_block(a, b, c, nb, None)
+        fn = lambda a, b, c, nb: leaf_block(a, b, c, nb, None, None)
         in_specs = in_specs[:4]
         args = args[:4]
     else:
@@ -928,7 +1008,7 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
     args = []
     in_specs = []
     has_vt = []
-    for u_stack, vt_stack, src_r, level_cells in levels:
+    for u_stack, vt_stack, src_r, src_cells, level_cells in levels:
         nchunk, g, c_chunk = src_r.shape
         # slot-major (c_pad, g) source table; slots shard over "sp"
         src_flat = src_r.transpose(0, 2, 1).reshape(nchunk * c_chunk, g)
@@ -937,17 +1017,20 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
             u_stack,
             vt_stack if vt_stack is not None else jnp.zeros((1,), jnp.float64),
             src_flat,
+            src_cells,
             level_cells,
         ])
-        in_specs.extend([P(), P(), P("sp"), P("sp")])
+        in_specs.extend([P(), P(), P("sp"), P(), P("sp")])
 
     def block_fn(*flat):
         local_part = jnp.zeros(mult_pad.shape, ct)
         for i in range(n_lv):
-            u_stack, vt_pack, src_slots, cells_b = flat[4 * i : 4 * i + 4]
+            u_stack, vt_pack, src_slots, src_cells, cells_b = (
+                flat[5 * i : 5 * i + 5])
             u_c = u_stack.astype(ct)
             vt_c = vt_pack.astype(ct) if has_vt[i] else None
-            x = mult_pad[src_slots.T]  # (g, c_b, q|k, r)
+            mult_src = mult_pad[src_cells]  # replicated compact level block
+            x = mult_src[src_slots.T]  # (g, c_b, q|k, r)
             if df:
                 z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
                 y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
@@ -1178,10 +1261,23 @@ class FmmTree:
             # scatter) so the level add keeps unique_indices=True honest
             cells_pad = t.num_cells + 1 + np.arange(c_pad)
             cells_pad[: level_cells.size] = level_cells
-            src_tab = np.full((g, c_pad), t.num_cells, np.int32)
+            # source cells indexed LOCALLY: each level gathers its compact
+            # (S + 1, p^d, r) multipole block once (`mult_src`), and the
+            # slot table points into it (sentinel = S, the zero pad row).
+            # This is what lets the df64 tier compress ALL level sources
+            # through every Vt in one plain matmul (`_df64_zall`) and
+            # gather only rank-k vectors per slot — the old global table
+            # gathered each source's full p^d multipole up to 189 times.
+            src_list = np.unique(sel[:, 1])
+            n_src = src_list.size
+            src_cells = np.concatenate(
+                [src_list, [t.num_cells]]).astype(np.int32)
+            local_of = np.full(t.num_cells + 1, n_src, np.int64)
+            local_of[src_list] = np.arange(n_src)
+            src_tab = np.full((g, c_pad), n_src, np.int32)
             vid_row = np.full(int(present.max()) + 1, -1, np.int64)
             vid_row[present] = np.arange(g)
-            src_tab[vid_row[vids], slot_of[sel[:, 0]]] = sel[:, 1]
+            src_tab[vid_row[vids], slot_of[sel[:, 0]]] = local_of[sel[:, 1]]
             dense = self.level_ops[level][0][1] is None
             rmax = (
                 nnodes
@@ -1207,7 +1303,8 @@ class FmmTree:
                     vt2 = np.zeros((vt.shape[0], nnodes))
                     vt2[:, rows] = vt
                     vt_stack[gi, : vt.shape[0]] = vt2
-            self.m2l_levels.append((level, u_stack, vt_stack, src_tab, cells_pad))
+            self.m2l_levels.append(
+                (level, u_stack, vt_stack, src_tab, cells_pad, src_cells))
 
         # --- P2L groups (x list) ------------------------------------------
         xp = t.x_pairs
@@ -1341,8 +1438,8 @@ class FmmTree:
                 for ch_t, pa_t in self.l2l_groups
             ],
             "m2l_levels": [
-                _chunk_m2l_level(u_stack, vt_stack, tgt, src, self.nnodes)
-                for (_level, u_stack, vt_stack, tgt, src) in self.m2l_levels
+                _chunk_m2l_level(u_stack, vt_stack, tgt, src, self.nnodes, sc)
+                for (_level, u_stack, vt_stack, tgt, src, sc) in self.m2l_levels
             ],
             "p2l": p2l,
             "nodes_nd": jnp.asarray(self.nodes_nd),
@@ -1840,6 +1937,7 @@ class FmmTree:
                     n_pad=binned["n_pad"],
                     prec=precision,
                     ecs=int(self.params.eval_chunk_size),
+                    use_pallas=self._use_pallas,
                 )
                 self._multipole, self._local, self._weights_sorted = (
                     mult, local, wsorted,

@@ -171,6 +171,97 @@ def test_row_sharded_matvec_matches_single_device():
     assert all(f"tensor<{r}x{t}xi" not in s for s in sigs)
 
 
+def _pallas_inside_shard_map(jaxpr) -> bool:
+    """True iff a pallas_call primitive appears WITHIN a shard_map eqn."""
+
+    def has_pallas(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "pallas_call":
+                return True
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns") and has_pallas(inner):
+                    return True
+        return False
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "shard_map":
+                inner = eqn.params["jaxpr"]
+                inner = getattr(inner, "jaxpr", inner)
+                if has_pallas(inner):
+                    return True
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns") and walk(inner):
+                    return True
+        return False
+
+    return walk(jaxpr.jaxpr)
+
+
+def test_row_sharded_pallas_near_field(monkeypatch):
+    """VERDICT r3 item 6: the sharded leaf pass runs the SAME fused Pallas
+    near-field kernels as the single-chip path (interpret mode on CPU), so
+    multi-chip no longer trades single-chip kernel speed for parallelism.
+
+    Asserts (a) 8-device == 1-device BITWISE with use_pallas=True, (b) the
+    sharded Pallas values match the sharded XLA leaf at f32 round-off, and
+    (c) the traced program carries the pallas_call INSIDE the shard_map
+    (the kernel itself is row-partitioned, not a downgraded XLA twin).
+    """
+    import functools
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    for name in ("p2p_leaf_pairs", "p2p_leaf_slab", "p2p_leaf_fused"):
+        orig = getattr(pp, name)
+        monkeypatch.setattr(pp, name, functools.partial(
+            jax.jit(orig.__wrapped__, static_argnames=("kparams", "interpret")),
+            interpret=True))
+
+    pts = _points(n=1600, seed=13)
+    kparams = KernelParams(KernelType.CubicRbf, base_range=1.0, total_sill=1.0)
+    params = FmmParams(
+        interpolation_order=4,
+        max_points_per_cell=64,
+        compression_type=FmmCompressionType.ACA,
+        epsilon=1e-5,
+    )
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((pts.shape[0], 2))
+
+    mesh = make_mesh(8, ("sp", "rhs"))
+    with use_mesh(mesh):
+        tree = FmmTree(pts, 4, kparams, adaptive_tree=True, sparse=True, params=params)
+    tree.prepare_targets(pts, "src")
+    binned = tree._target_cache["src"]
+    args = (
+        tree._dev, jnp.asarray(w), binned["targets_pad"], binned["tgt_idx"],
+        binned["tgt_mask"], binned["tcells"], binned["nbr_tab"],
+        binned["wtab"], binned["inv_row"], binned["inv_slot"],
+    )
+    kw = dict(
+        kparams=kparams, d=3, p=4, n_pad=binned["n_pad"], prec="f32",
+        ecs=int(tree.params.eval_chunk_size),
+    )
+    v_xla, *_ = fmm_api._matvec_fused_sharded(tree._mesh, *args, **kw)
+    v8, *_ = fmm_api._matvec_fused_sharded(
+        tree._mesh, *args, use_pallas=True, **kw)
+    mesh1 = make_mesh(1, ("sp",))
+    v1, *_ = fmm_api._matvec_fused_sharded(mesh1, *args, use_pallas=True, **kw)
+    assert np.array_equal(np.asarray(v8), np.asarray(v1))
+    scale = np.max(np.abs(np.asarray(v_xla)))
+    assert np.max(np.abs(np.asarray(v8) - np.asarray(v_xla))) < 1e-5 * scale
+
+    jaxpr = jax.make_jaxpr(
+        lambda *a: fmm_api._matvec_fused_sharded(
+            tree._mesh, *a, use_pallas=True, **kw)
+    )(*args)
+    assert _pallas_inside_shard_map(jaxpr)
+
+
 def test_full_fit_sharded_matches_single_device():
     """End-to-end iterative fit under use_mesh == single-device fit."""
     pts = _points(n=1000, seed=9)
