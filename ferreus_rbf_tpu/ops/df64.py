@@ -336,10 +336,16 @@ def ozaki_dot(a64, b64, dimension_numbers, nsl=6, keep=None):
             out = d64 if out is None else out + d64
         return out, a_free, b_free
 
+    # Stacking trades a-side reads/flops for b-side reads: the stacked
+    # operand is read once per OPPOSITE plane (keep passes) instead of once
+    # per plane pair (~keep^2/2). Free when the stack still fits the MXU's
+    # padded 128 rows; still a win whenever the stacked side stays no larger
+    # than the other side (these dots are HBM-traffic-bound, not FLOP-bound
+    # — the M2L rank dots run ~1% of MXU peak).
     stack_axis = None
-    if nsl * M <= 128:
+    if nsl * M <= max(128, N):
         stack_axis = "m"
-    elif nsl * N <= 128:
+    elif nsl * N <= max(128, M):
         stack_axis = "n"
     diags = [None] * keep
     if stack_axis == "m":

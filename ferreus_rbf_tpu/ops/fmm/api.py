@@ -244,25 +244,49 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
         vt_c = None if vt_stack is None else vt_stack.astype(ct)  # (g, k, p^d)
         # Each level gathers its sources ONCE into a compact (S+1, p^d, r)
         # block (sentinel = the zero pad row); slot chunks then re-gather
-        # from the compact block, not the whole-tree multipole table. (An
-        # all-pairs rank pre-compression of this block was tried in r4 and
-        # REGRESSED 2x: the per-slot batched middle-axis gather of the
-        # rank-k table compiles to a slow XLA gather, and the split-dot
-        # flops are identical either way — see scripts/profile_df64_passes.)
+        # from the compact block, not the whole-tree multipole table.
         mult_src = mult_pad[src_cells]  # (S+1, p^d, r): each source ONCE
 
-        def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c, mult_src=mult_src):
-            x = mult_src[src_c]  # (g, c_chunk, p^d|k source dim, r)
-            if df:
-                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
-                return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
-            z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
-            # contract BOTH the vid and rank axes in one dot:
-            # y[p, c, r] = sum_{g,k} U[g,p,k] z[g,c,k,r]
-            y = jax.lax.dot_general(
-                u_c, z, dimension_numbers=(((0, 2), (0, 2)), ((), ()))
-            )
-            return None, y.transpose(1, 0, 2)  # (c_chunk, p^d, r)
+        if df and vt_c is not None:
+            # df64 rank pre-compression: push every level source through
+            # every Vt ONCE (g x S split dots instead of g x n_slots — the
+            # slot axis duplicates each source up to 8x), then gather only
+            # rank-k vectors per slot. The gather indexes a FLATTENED
+            # (g*(S+1), k*r) table: the g offset folds into the index (a
+            # plain leading-axis gather) and the trailing k*r axes flatten
+            # into ONE lane-aligned row. Both flattenings are load-bearing:
+            # a (g, S+1, ...) batched middle-axis gather regressed 2x, and
+            # a (g*(S+1), k, r) 3-D table regressed 1.4x — its 8-wide f64
+            # trailing axis maps onto 8 of 128 vreg lanes (measured
+            # slot/zall/zall_flat2d = 31.7/43.9/20.5 ms, bitwise equal;
+            # scripts/profile_df64_passes.py).
+            g_cnt, k_r = vt_c.shape[0], vt_c.shape[1]
+            n_src1, _, n_r = mult_src.shape
+            z_all = df64_mod.ozaki_einsum(
+                "gkq,sqr->gskr", vt_c, mult_src,
+                nsl=_DF64_KEEP, keep=_DF64_KEEP)
+            z_flat = z_all.reshape(g_cnt * n_src1, k_r * n_r)
+            offs = jnp.arange(g_cnt, dtype=jnp.int32)[:, None] * n_src1
+
+            def _level_chunk(_, src_c, u_c=u_c, z_flat=z_flat, offs=offs,
+                             k_r=k_r, n_r=n_r):
+                z = z_flat[src_c + offs]  # (g, c_chunk, k*r)
+                z = z.reshape(z.shape[0], z.shape[1], k_r, n_r)
+                return None, df64_mod.ozaki_einsum(
+                    "gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+        else:
+            def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c, mult_src=mult_src):
+                x = mult_src[src_c]  # (g, c_chunk, p^d|k source dim, r)
+                if df:
+                    z = x
+                    return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
+                # contract BOTH the vid and rank axes in one dot:
+                # y[p, c, r] = sum_{g,k} U[g,p,k] z[g,c,k,r]
+                y = jax.lax.dot_general(
+                    u_c, z, dimension_numbers=(((0, 2), (0, 2)), ((), ()))
+                )
+                return None, y.transpose(1, 0, 2)  # (c_chunk, p^d, r)
 
         if src_r.shape[0] == 1:
             _, y_all = _level_chunk(None, src_r[0])
@@ -1030,9 +1054,29 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
             u_c = u_stack.astype(ct)
             vt_c = vt_pack.astype(ct) if has_vt[i] else None
             mult_src = mult_pad[src_cells]  # replicated compact level block
+            if df and vt_c is not None:
+                # rank pre-compression + lane-aligned flattened gather,
+                # mirroring _downward: compress every level source through
+                # every Vt once (replicated — the block is tiny), gather
+                # (k*r)-flattened rank-k rows for this shard's slots
+                g_cnt, k_r = vt_c.shape[0], vt_c.shape[1]
+                n_src1, _, n_r = mult_src.shape
+                z_all = df64_mod.ozaki_einsum(
+                    "gkq,sqr->gskr", vt_c, mult_src,
+                    nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                z_flat = z_all.reshape(g_cnt * n_src1, k_r * n_r)
+                offs = jnp.arange(g_cnt, dtype=jnp.int32)[:, None] * n_src1
+                z = z_flat[src_slots.T + offs]  # (g, c_b, k*r)
+                z = z.reshape(z.shape[0], z.shape[1], k_r, n_r)
+                y = df64_mod.ozaki_einsum(
+                    "gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                local_part = local_part.at[cells_b].add(
+                    y.astype(ct), mode="drop", unique_indices=True
+                )
+                continue
             x = mult_src[src_slots.T]  # (g, c_b, q|k, r)
             if df:
-                z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                z = x
                 y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
             else:
                 z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)

@@ -68,14 +68,18 @@ def main():
           lambda x: api._downward(dev, mult * (1.0 + 1e-15 * jnp.ravel(x)[0]), w_sorted, kparams=kp, prec=prec),
           local)
 
-    # M2L loop only (jit a stripped version)
+    # M2L loop variants (jit stripped versions). "slot" recompresses per
+    # target slot (the pre-r4 formulation); "zall" pre-compresses each level
+    # source once then gathers rank-k vectors per slot (the current
+    # _downward); "zall_flat2d" additionally gathers lane-aligned (k*r)-
+    # flattened rows.
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("prec",))
-    def m2l_only(mult_in, *, prec):
-        df = prec == "df64"
-        ct = jnp.float32 if prec == "f32" else jnp.float64
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def m2l_var(mult_in, *, variant):
         from ferreus_rbf_tpu.ops import df64 as df64_mod
+        ct = jnp.float64
+        K = api._DF64_KEEP
         mult_c = mult_in.astype(ct)
         local = jnp.zeros((mult_c.shape[0] + 1,) + mult_c.shape[1:], ct)
         mult_pad = jnp.concatenate(
@@ -84,31 +88,59 @@ def main():
             u_c = u_stack.astype(ct)
             vt_c = None if vt_stack is None else vt_stack.astype(ct)
             mult_src = mult_pad[src_cells]
-
-            def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c,
-                             mult_src=mult_src):
-                x = mult_src[src_c]
-                if df:
-                    z = x if vt_c is None else df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x, nsl=api._DF64_KEEP, keep=api._DF64_KEEP)
-                    return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=api._DF64_KEEP, keep=api._DF64_KEEP)
-                z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
-                y = jax.lax.dot_general(
-                    u_c, z, dimension_numbers=(((0, 2), (0, 2)), ((), ())))
-                return None, y.transpose(1, 0, 2)
-
-            if src_r.shape[0] == 1:
-                _, y_all = _level_chunk(None, src_r[0])
+            if vt_c is not None and variant in ("zall", "zall_flat2d"):
+                g_cnt, k_r = vt_c.shape[0], vt_c.shape[1]
+                n_src1 = mult_src.shape[0]
+                r = mult_src.shape[2]
+                z_all = df64_mod.ozaki_einsum(
+                    "gkq,sqr->gskr", vt_c, mult_src, nsl=K, keep=K)
+                offs = jnp.arange(g_cnt, dtype=jnp.int32)[:, None] * n_src1
+                if variant == "zall_flat2d":
+                    z2 = z_all.reshape(g_cnt * n_src1, k_r * r)
+                    def _chunk(_, src_c, u_c=u_c, z2=z2, offs=offs,
+                               k_r=k_r, r=r):
+                        zg = z2[src_c + offs]
+                        zg = zg.reshape(zg.shape[0], zg.shape[1], k_r, r)
+                        return None, df64_mod.ozaki_einsum(
+                            "gpk,gckr->cpr", u_c, zg, nsl=K, keep=K)
+                else:
+                    z_flat = z_all.reshape(g_cnt * n_src1, k_r, r)
+                    def _chunk(_, src_c, u_c=u_c, z_flat=z_flat, offs=offs):
+                        zg = z_flat[src_c + offs]
+                        return None, df64_mod.ozaki_einsum(
+                            "gpk,gckr->cpr", u_c, zg, nsl=K, keep=K)
             else:
-                _, y_c = jax.lax.scan(_level_chunk, None, src_r)
+                def _chunk(_, src_c, u_c=u_c, vt_c=vt_c, mult_src=mult_src):
+                    x = mult_src[src_c]
+                    z = x if vt_c is None else df64_mod.ozaki_einsum(
+                        "gkq,gcqr->gckr", vt_c, x, nsl=K, keep=K)
+                    return None, df64_mod.ozaki_einsum(
+                        "gpk,gckr->cpr", u_c, z, nsl=K, keep=K)
+            if src_r.shape[0] == 1:
+                _, y_all = _chunk(None, src_r[0])
+            else:
+                _, y_c = jax.lax.scan(_chunk, None, src_r)
                 y_all = y_c.reshape((-1,) + y_c.shape[2:])
             local = local.at[level_cells].add(y_all, mode="drop", unique_indices=True)
         return local
 
-    loc0 = m2l_only(mult, prec=prec)
-    _pull(loc0)
-    timed("m2l only",
-          lambda x: m2l_only(mult * (1.0 + 1e-15 * jnp.ravel(x)[0]), prec=prec),
-          loc0)
+    if prec == "df64":
+        base = None
+        for variant in ("slot", "zall", "zall_flat2d"):
+            loc0 = m2l_var(mult, variant=variant)
+            _pull(loc0)
+            if base is None:
+                base = loc0
+            else:
+                import numpy as _np
+                d = float(jnp.max(jnp.abs(loc0 - base)))
+                print(f"  ({variant} vs slot: max abs diff {d:.3e})")
+            timed(f"m2l[{variant}]",
+                  lambda x, variant=variant: m2l_var(
+                      mult * (1.0 + 1e-15 * jnp.ravel(x)[0]), variant=variant),
+                  loc0)
+    else:
+        loc0 = m2l_var(mult, variant="slot")
 
     # P2L+L2L tail
     @functools.partial(jax.jit, static_argnames=("prec",))
