@@ -58,6 +58,45 @@ except ValueError as _e:
 _DF64_KEEP = max(1, _DF64_KEEP)
 
 
+def _far_keep_for(prec: str) -> int:
+    """Far-field split-dot dial encoded in the prec string.
+
+    ``"df64"`` runs every pass at the full near-field dial ``_DF64_KEEP``;
+    ``"df64fK"`` (K a digit) runs the EXPANSION-MEDIATED passes — P2M, M2M,
+    M2L, P2L, L2L, M2P, L2P — at keep=K while the direct near field (P2P)
+    stays at ``_DF64_KEEP``. Tests and callers that pass ``"df64"``
+    explicitly always get the full dial.
+    """
+    return _DF64_KEEP if prec == "df64" else max(1, int(prec[5:]))
+
+
+def _f64_grade_prec(epsilon: float) -> str:
+    """The f64-grade tier's prec string for an FMM plan with ``epsilon``.
+
+    Every expansion-mediated contribution already carries O(epsilon)
+    Chebyshev/ACA truncation error — in the reference too, whose f64
+    arithmetic (``bbfmm.rs``) only guarantees the TRUNCATED value exactly.
+    Rounding those passes at <= 0.01 * epsilon is therefore invisible in
+    the result; only the u-list near field (exact in the reference) needs
+    the full df64 dial. An ozaki contraction at keep=k drops diagonals at
+    ~2^-8k of the leading product, so
+        k_far = ceil((log2(1/epsilon) + log2(100)) / 8),  clamped [3, KEEP].
+    eps 1e-5 -> 3, 1e-7 -> 4, 1e-9 -> 5. Override with
+    ``FERREUS_RBF_TPU_FAR_KEEP`` ("full" or an integer dial).
+    """
+    env = _os.environ.get("FERREUS_RBF_TPU_FAR_KEEP")
+    if env is not None:
+        if env == "full":
+            return "df64"
+        k = max(1, min(int(env), _DF64_KEEP))
+        return "df64" if k >= _DF64_KEEP else f"df64f{k}"
+    import math
+
+    k = math.ceil((math.log2(1.0 / max(float(epsilon), 1e-300)) + math.log2(100.0)) / 8.0)
+    k = max(3, min(k, _DF64_KEEP))
+    return "df64" if k >= _DF64_KEEP else f"df64f{k}"
+
+
 class KernelDoesNotSupportGradientsError(ValueError):
     def __init__(self):
         super().__init__(
@@ -147,7 +186,8 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
     precomputed (nsl, smax, p^d) table costs 7.8 GB at 1M points) — the
     Chebyshev recurrences are a tiny fraction of the contraction cost.
     """
-    df = prec == "df64"
+    df = prec.startswith("df64")
+    kf = _far_keep_for(prec) if df else _DF64_KEEP
     ct = jnp.float32 if prec == "f32" else jnp.float64
     w_sorted = weights[dev["point_order"]]
     ncells = dev["cell_centers"].shape[0]
@@ -190,7 +230,7 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
         else:
             wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
         if df:
-            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb, nsl=kf, keep=kf)
         else:
             contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
         return mult_acc.at[cells].add(contrib, mode="drop"), None
@@ -208,7 +248,7 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
     for ch_t, pa_t in dev["m2m_groups"]:
         x = mult[ch_t]  # (2^d, cmax, p^d, r); pads gather row 0
         if df:
-            contrib = df64_mod.ozaki_einsum("opq,ocqr->ocpr", m2m_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+            contrib = df64_mod.ozaki_einsum("opq,ocqr->ocpr", m2m_c, x, nsl=kf, keep=kf)
         else:
             contrib = jnp.einsum("opq,ocqr->ocpr", m2m_c, x)
         mult = mult.at[pa_t].add(contrib, mode="drop")  # pads scatter-drop
@@ -224,7 +264,8 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
     them as exact bf16 split dots (f64-grade, no 19-pass f64 emulation).
     The result is upcast at the end so downstream code always sees f64.
     """
-    df = prec == "df64"
+    df = prec.startswith("df64")
+    kf = _far_keep_for(prec) if df else _DF64_KEEP
     ct = jnp.float32 if prec == "f32" else jnp.float64
     kernel = make_kernel(kparams, dtype=ct)
     mult_c = mult.astype(ct)
@@ -264,22 +305,23 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
             n_src1, _, n_r = mult_src.shape
             z_all = df64_mod.ozaki_einsum(
                 "gkq,sqr->gskr", vt_c, mult_src,
-                nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                nsl=kf, keep=kf)
             z_flat = z_all.reshape(g_cnt * n_src1, k_r * n_r)
             offs = jnp.arange(g_cnt, dtype=jnp.int32)[:, None] * n_src1
 
             def _level_chunk(_, src_c, u_c=u_c, z_flat=z_flat, offs=offs,
-                             k_r=k_r, n_r=n_r):
+                             k_r=k_r, n_r=n_r, kf=kf):
                 z = z_flat[src_c + offs]  # (g, c_chunk, k*r)
                 z = z.reshape(z.shape[0], z.shape[1], k_r, n_r)
                 return None, df64_mod.ozaki_einsum(
-                    "gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                    "gpk,gckr->cpr", u_c, z, nsl=kf, keep=kf)
         else:
-            def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c, mult_src=mult_src):
+            def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c, mult_src=mult_src,
+                             kf=kf):
                 x = mult_src[src_c]  # (g, c_chunk, p^d|k source dim, r)
                 if df:
                     z = x
-                    return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                    return None, df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=kf, keep=kf)
                 z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
                 # contract BOTH the vid and rank axes in one dot:
                 # y[p, c, r] = sum_{g,k} U[g,p,k] z[g,c,k,r]
@@ -305,7 +347,8 @@ def _downward_tail(dev, local, w_sorted, w_tiles=None, *, kparams, prec="f64"):
     ((ncells + 1) rows — as the M2L loop or :func:`_sharded_m2l` leaves
     it); returns the finished (ncells, p^d, r) f64 local expansions.
     """
-    df = prec == "df64"
+    df = prec.startswith("df64")
+    kf = _far_keep_for(prec) if df else _DF64_KEEP
     ct = jnp.float32 if prec == "f32" else jnp.float64
     kernel = make_kernel(kparams, dtype=ct)
     local = local[:-1]  # drop the pad-target sentinel row
@@ -330,7 +373,7 @@ def _downward_tail(dev, local, w_sorted, w_tiles=None, *, kparams, prec="f64"):
             else:
                 wvals = jnp.where(smask[..., None], w_sorted[sidx].astype(ct), ct(0.0))
             if df:
-                y = df64_mod.ozaki_einsum("mps,msr->mpr", k, wvals, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                y = df64_mod.ozaki_einsum("mps,msr->mpr", k, wvals, nsl=kf, keep=kf)
             else:
                 y = jnp.einsum("mps,msr->mpr", k, wvals)
             return loc.at[tgt].add(y, mode="drop"), None
@@ -344,7 +387,7 @@ def _downward_tail(dev, local, w_sorted, w_tiles=None, *, kparams, prec="f64"):
     for ch_t, pa_t in dev["l2l_groups"]:
         x = local[pa_t]  # (2^d, cmax, p^d, r); pads gather row 0
         if df:
-            contrib = df64_mod.ozaki_einsum("opq,ocpr->ocqr", m2m_c, x, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+            contrib = df64_mod.ozaki_einsum("opq,ocpr->ocqr", m2m_c, x, nsl=kf, keep=kf)
         else:
             contrib = jnp.einsum("opq,ocpr->ocqr", m2m_c, x)
         local = local.at[ch_t].add(contrib, mode="drop")  # pads scatter-drop
@@ -356,7 +399,8 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
     transient is (chunk, T, p^d), not (all rows, T, p^d) — the full table
     is ~4 GB at 1M targets with p=7. ``ecs`` (FmmParams.eval_chunk_size)
     linearly scales the transient budget; 1024 is the reference default."""
-    df = prec == "df64"
+    df = prec.startswith("df64")
+    kf = _far_keep_for(prec) if df else _DF64_KEEP
     ct = jnp.float32 if prec == "f32" else jnp.float64
     nodes_t = dev["nodes_t"].astype(ct)
     tpts = targets[tgt_idx]
@@ -378,7 +422,7 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
             tp.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
         )
         if df:
-            vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+            vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc, nsl=kf, keep=kf)
         else:
             # the f32 tier accumulates the whole leaf pass in f32 (halves
             # the HBM traffic of the adds + the unbucket gather); f64 out
@@ -389,7 +433,7 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
         if with_grads and df:
             # split-dot planes instead of the 19-pass emulated-f64 einsum:
             # the L2P leg of the df64 gradient tier
-            grads = df64_mod.ozaki_einsum("ltdp,lpr->ltrd", dw_t, loc, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+            grads = df64_mod.ozaki_einsum("ltdp,lpr->ltrd", dw_t, loc, nsl=kf, keep=kf)
         elif with_grads:
             grads = jnp.einsum("ltdp,lpr->ltrd", dw_t, loc).astype(jnp.float64)
         else:
@@ -546,11 +590,14 @@ def _leaf_all(
     # ("f32" = the solver's inner matvec; "df64" = the f64-grade tier);
     # gradients and CPU backends stay on the XLA scan.
     pallas_nf = use_pallas and prec == "f32" and not with_grads
-    pallas_df = use_pallas and prec == "df64" and not with_grads
+    pallas_df = use_pallas and prec.startswith("df64") and not with_grads
     # f64-grade GRADIENT tier: the sorted pair-list kernels with gscale*dd
     # contractions (needs the pair triples — _p2p_args/_m2p_args fall back
     # to the f64 scan when they don't fit SMEM)
-    pallas_df_g = use_pallas and prec == "df64" and with_grads
+    pallas_df_g = use_pallas and prec.startswith("df64") and with_grads
+    # far-field dial: expansion-mediated M2P runs at the (possibly reduced)
+    # far keep; the direct near field always keeps the full dial
+    kf = _far_keep_for(prec) if prec.startswith("df64") else _DF64_KEEP
     tpts, vals_b, grads_b = _l2p_impl(
         dev, targets, tgt_idx, tgt_mask, tcells, local, d=d, p=p,
         with_grads=with_grads, prec=prec, ecs=ecs
@@ -685,13 +732,13 @@ def _leaf_all(
             # (_m2p_args only routes here when the pair triple fits SMEM)
             mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
             mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
-            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), _DF64_KEEP)
+            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), kf)
             m_planes = jnp.transpose(planes, (1, 0, 2, 3))
             th, tl = df64_mod.from_f64(tpts)
             oh, ol, goh, gol = p2p_pallas.p2p_pairlist_df64_grad(
                 th.astype(jnp.float32), tl.astype(jnp.float32),
                 dev["node_tiles"], dev["node_tiles_lo"],
-                m_planes, prows, ptiles, pfirst, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP,
+                m_planes, prows, ptiles, pfirst, kparams=kparams, nsl=kf, keep=kf,
             )
             vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
             g = df64_mod.to_f64(goh, gol).reshape(goh.shape[0], d, nrhs, -1)
@@ -699,8 +746,8 @@ def _leaf_all(
         else:
             mt64 = jnp.zeros((nw + 1, nrhs, s_node), jnp.float64)
             mt64 = mt64.at[:nw, :, :nnodes].set(mgather)
-            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), _DF64_KEEP)
-            m_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nw+1, 6, nrhs, s_node)
+            planes, _ = df64_mod.slice_planes(*df64_mod.from_f64(mt64), (2,), kf)
+            m_planes = jnp.transpose(planes, (1, 0, 2, 3))  # (nw+1, kf, nrhs, s_node)
             th, tl = df64_mod.from_f64(tpts)
             # pair-list kernel when the (rows, tiles, first) prefetch triple
             # fits SMEM: one grid step per TRUE pair instead of the dense
@@ -711,13 +758,13 @@ def _leaf_all(
                 oh, ol = p2p_pallas.p2p_pairlist_df64(
                     th.astype(jnp.float32), tl.astype(jnp.float32),
                     dev["node_tiles"], dev["node_tiles_lo"],
-                    m_planes, prows, ptiles, pfirst, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP,
+                    m_planes, prows, ptiles, pfirst, kparams=kparams, nsl=kf, keep=kf,
                 )
             else:
                 oh, ol = _chunk_pair_rows(
                     lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
                         t_args[0], t_args[1], dev["node_tiles"], dev["node_tiles_lo"],
-                        m_planes, nbr_c, kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP),
+                        m_planes, nbr_c, kparams=kparams, nsl=kf, keep=kf),
                     (th, tl), wtab,
                 )
             vals_b = vals_b + df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
@@ -862,7 +909,8 @@ def _matvec_fused_sharded(
     from jax.sharding import PartitionSpec as P
 
     ct = jnp.float32 if prec == "f32" else jnp.float64
-    df = prec == "df64"
+    df = prec.startswith("df64")
+    kf = _far_keep_for(prec) if df else _DF64_KEEP
     kernel = make_kernel(kparams, dtype=ct)
     # one consolidated weight-tile gather (see _matvec_fused)
     w_tiles_pre = jnp.where(
@@ -885,7 +933,7 @@ def _matvec_fused_sharded(
         mult_pad = jnp.concatenate(
             [mult_c, jnp.zeros((1,) + mult_c.shape[1:], ct)], axis=0
         )
-        local = _sharded_m2l(mesh, dev, mult_pad, ct=ct, df=df)
+        local = _sharded_m2l(mesh, dev, mult_pad, ct=ct, df=df, kf=kf)
         local = _downward_tail(
             dev, local, w_sorted, w_tiles_pre, kparams=kparams, prec=prec
         )
@@ -919,13 +967,14 @@ def _matvec_fused_sharded(
         mtiles = mtiles.at[:nw, :, :nnodes].set(mgather)
         if pallas_df:
             pl, _ = df64_mod.slice_planes(
-                *df64_mod.from_f64(mtiles), (2,), _DF64_KEEP)
+                *df64_mod.from_f64(mtiles), (2,), kf)
             m_planes = jnp.transpose(pl, (1, 0, 2, 3))
     else:
         wtab_dense = None
         mtiles = None
 
-    def _pallas_near(tpts_b, tiles, tiles_lo, w32, wpl, nbr_b, cnt_b):
+    def _pallas_near(tpts_b, tiles, tiles_lo, w32, wpl, nbr_b, cnt_b,
+                     keep=_DF64_KEEP):
         """Per-device near-field contraction via the fused Pallas kernels
         (same kernel selection rules as the single-chip `_leaf_all`)."""
         if pallas_nf:
@@ -953,7 +1002,7 @@ def _matvec_fused_sharded(
         oh, ol = _chunk_pair_rows(
             lambda t_args, nbr_c: p2p_pallas.p2p_leaf_pairs_df64(
                 t_args[0], t_args[1], tiles, tiles_lo, wpl, nbr_c,
-                kparams=kparams, nsl=_DF64_KEEP, keep=_DF64_KEEP),
+                kparams=kparams, nsl=keep, keep=keep),
             (th, tl), nbr_b,
         )
         return df64_mod.to_f64(oh, ol).transpose(0, 2, 1)
@@ -981,6 +1030,7 @@ def _matvec_fused_sharded(
                     tpts_b, dev["node_tiles"], dev["node_tiles_lo"],
                     mtiles.astype(jnp.float32) if pallas_nf else None,
                     m_planes, wtab_b, wcnt_b if pallas_nf else None,
+                    keep=kf,
                 )
             else:
                 far = _p2p_bucketed_xla(
@@ -1013,7 +1063,7 @@ def _matvec_fused_sharded(
     return vals, mult, local, w_sorted
 
 
-def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
+def _sharded_m2l(mesh, dev, mult_pad, *, ct, df, kf=_DF64_KEEP):
     """M2L with each level's target-slot axis partitioned over "sp".
 
     SURVEY §5.8(b), second half: each device gathers/contracts its own
@@ -1063,13 +1113,13 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
                 n_src1, _, n_r = mult_src.shape
                 z_all = df64_mod.ozaki_einsum(
                     "gkq,sqr->gskr", vt_c, mult_src,
-                    nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                    nsl=kf, keep=kf)
                 z_flat = z_all.reshape(g_cnt * n_src1, k_r * n_r)
                 offs = jnp.arange(g_cnt, dtype=jnp.int32)[:, None] * n_src1
                 z = z_flat[src_slots.T + offs]  # (g, c_b, k*r)
                 z = z.reshape(z.shape[0], z.shape[1], k_r, n_r)
                 y = df64_mod.ozaki_einsum(
-                    "gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                    "gpk,gckr->cpr", u_c, z, nsl=kf, keep=kf)
                 local_part = local_part.at[cells_b].add(
                     y.astype(ct), mode="drop", unique_indices=True
                 )
@@ -1077,7 +1127,7 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df):
             x = mult_src[src_slots.T]  # (g, c_b, q|k, r)
             if df:
                 z = x
-                y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=_DF64_KEEP, keep=_DF64_KEEP)
+                y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z, nsl=kf, keep=kf)
             else:
                 z = x if vt_c is None else jnp.einsum("gkq,gcqr->gckr", vt_c, x)
                 y = jax.lax.dot_general(
@@ -1185,8 +1235,15 @@ class FmmTree:
         self._use_pallas = _pallas_default()
         # "f64"-grade requests route to the df64 split-precision tier on
         # TPU backends (native f64 dots are 19-pass emulated, ~19x slower
-        # and OOM-prone); CPU backends keep true f64.
-        self._f64_prec = "df64" if self._use_pallas else "f64"
+        # and OOM-prone); CPU backends keep true f64. The far-field dial is
+        # epsilon-aware (see _f64_grade_prec): expansion-mediated passes run
+        # at the keep that bounds their rounding <= 0.01 * epsilon — the
+        # truncation error the reference's f64 arithmetic also carries —
+        # while the direct near field keeps the full df64 dial. Tests that
+        # need plan-exact df64 pass precision="df64" explicitly.
+        self._f64_prec = (
+            _f64_grade_prec(self.params.epsilon) if self._use_pallas else "f64"
+        )
 
     # ------------------------------------------------------------ operators
     def _build_operators(self):
@@ -1874,10 +1931,10 @@ class FmmTree:
         if with_grads:
             # gradient tier: the sorted-pair-list df64 kernel only (no dense
             # grid variant) — scan fallback when the triple didn't fit SMEM
-            if self._use_pallas and prec == "df64" and binned["upairs"] is not None:
+            if self._use_pallas and prec.startswith("df64") and binned["upairs"] is not None:
                 return (), (), binned["upairs"]
-        elif self._use_pallas and prec in ("f32", "df64"):
-            return (), (), (binned["upairs"] if prec == "df64" else None)
+        elif self._use_pallas and (prec == "f32" or prec.startswith("df64")):
+            return (), (), (binned["upairs"] if prec.startswith("df64") else None)
         if "p2p_groups_dev" not in binned:
             self._ensure_scan_tables(binned)
             binned["p2p_groups_dev"] = tuple(
@@ -1899,11 +1956,11 @@ class FmmTree:
             # gradient tier needs the pair-list kernel, whose (rows, tiles,
             # first) prefetch triple must fit SMEM; scan fallback otherwise
             if (
-                self._use_pallas and prec == "df64" and wtab is not None
+                self._use_pallas and prec.startswith("df64") and wtab is not None
                 and int(wtab[2].shape[0]) * 12 <= (700 << 10)
             ):
                 return (), (), wtab
-        elif self._use_pallas and prec in ("f32", "df64"):
+        elif self._use_pallas and (prec == "f32" or prec.startswith("df64")):
             return (), (), wtab
         if "m2p_groups_dev" not in binned:
             self._ensure_scan_tables(binned)

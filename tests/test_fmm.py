@@ -562,3 +562,70 @@ def test_f32_matvec_with_utm_scale_offsets():
     # bucket accumulation — still f32-grade, and the refined solver's df64
     # residuals absorb it: fit convergence is unchanged)
     assert rel < 2e-5, rel
+
+
+def test_far_keep_policy_mapping():
+    """The f64-grade tier's epsilon-aware far-field dial (round 4).
+
+    Expansion-mediated passes carry O(epsilon) truncation (the reference's
+    f64 arithmetic does too — ``bbfmm.rs`` only guarantees the truncated
+    value); the policy picks the ozaki keep whose rounding (~2^-8k) stays
+    <= 0.01 * epsilon, floored at 3, capped at the near-field dial."""
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    if fmm_api._DF64_KEEP != 5:
+        pytest.skip("mapping assertions assume the default keep=5 dial")
+    assert fmm_api._f64_grade_prec(1e-4) == "df64f3"
+    assert fmm_api._f64_grade_prec(1e-5) == "df64f3"
+    assert fmm_api._f64_grade_prec(1e-7) == "df64f4"
+    assert fmm_api._f64_grade_prec(1e-9) == "df64"
+    assert fmm_api._f64_grade_prec(1e-11) == "df64"
+    assert fmm_api._far_keep_for("df64") == fmm_api._DF64_KEEP
+    assert fmm_api._far_keep_for("df64f3") == 3
+    assert fmm_api._far_keep_for("df64f4") == 4
+
+
+def test_far_keep_policy_end_to_end_error(monkeypatch):
+    """The reduced far-field dial must be invisible next to truncation:
+    FMM(df64fK) vs the DENSE f64 oracle stays within a small factor of
+    FMM(df64 full) vs the same oracle (both are truncation-bound)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.dense import get_a_matrix
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    for kname in ("p2p_leaf_pairs_df64", "p2p_pairlist_df64"):
+        monkeypatch.setattr(
+            pp, kname,
+            functools.partial(
+                jax.jit(getattr(pp, kname).__wrapped__,
+                        static_argnames=("kparams", "nsl", "keep", "interpret")),
+                interpret=True,
+            ),
+        )
+    rng = np.random.default_rng(29)
+    pts = rng.random((2500, 3))
+    kp = KernelParams(KernelType.LinearRbf)
+    params = FmmParams(interpolation_order=4, max_points_per_cell=64,
+                       compression_type=FmmCompressionType.ACA, epsilon=1e-4)
+    tree = fmm_api.FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True,
+                           params=params)
+    tree.prepare_targets(pts, "src")
+    n_pad = tree._target_cache["src"]["n_pad"]
+    w = np.zeros((n_pad, 2))
+    w[:2500] = rng.standard_normal((2500, 2))
+    dense = np.asarray(get_a_matrix(pts, pts, kp, xp=np)) @ w[:2500]
+    scale = np.max(np.abs(dense))
+    monkeypatch.setattr(tree, "_use_pallas", True)
+    errs = {}
+    for prec in ("df64", fmm_api._f64_grade_prec(params.epsilon)):
+        v = np.asarray(tree.evaluate_device(jnp.asarray(w), "src",
+                                            precision=prec))[:2500]
+        errs[prec] = np.max(np.abs(v - dense)) / scale
+    assert "df64f3" in errs, errs  # the policy must actually reduce the dial
+    # both truncation-bound; the reduced dial may add at most ~0.01 * eps
+    assert errs["df64f3"] <= 2.0 * errs["df64"] + 0.01 * params.epsilon, errs
