@@ -214,11 +214,21 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
             wb_all = jnp.pad(wb_all, ((0, nsl_pad - nsl), (0, 0), (0, 0)))
         wb_r = wb_all.reshape((idx_r.shape[0], idx_r.shape[1]) + wb_all.shape[1:])
 
+    # Anterpolation-weight generation precision: XLA-emulated f64
+    # elementwise recurrences dominate the df64 upward pass (measured
+    # 17.5 of 72.5 ms at config-2 scale, round 4). At the kf=3 far dial
+    # the pass's own rounding floor is ~2^-24, so f32 weight generation
+    # (error ~1e-7 on weights that sum to 1) is already below it; kf>=4
+    # dials keep f64 generation.
+    wt_ct = jnp.float32 if (df and kf <= 3) else ct
+
     def p2m_chunk(mult_acc, sl):
         idx, msk, ctr, ln, cells = sl[:5]
         w_t, _ = cheb.anterpolation_weights(
-            pts_c[idx], ctr.astype(ct), ln.astype(ct), nodes_t, d, xp=jnp
+            pts_c[idx].astype(wt_ct), ctr.astype(wt_ct), ln.astype(wt_ct),
+            nodes_t.astype(wt_ct), d, xp=jnp
         )
+        w_t = w_t.astype(ct)
         # Mask pad SLOTS on the weight side too: their garbage points sit
         # far outside the cell and the Chebyshev extrapolation explodes
         # (observed 1.7e11) — harmless against zero wb in exact arithmetic,
@@ -413,14 +423,22 @@ def _l2p_impl(dev, targets, tgt_idx, tgt_mask, tcells, local, *, d, p, with_grad
     chunk = 1 << (int(chunk).bit_length() - 1)
     chunk = min(chunk, rows)  # rows is pow2-padded, so chunk divides it
 
+    # reduced-precision weight generation at the kf=3 far dial (see
+    # _upward: the f64-emulated recurrences dominate, not the dots)
+    wt_ct = jnp.float32 if (df and kf <= 3) else ct
+
     def l2p_chunk(_, sl):
         tp, tc = sl
-        centers = dev["cell_centers"][tc].astype(ct)
-        lengths = dev["cell_lengths"][tc].astype(ct)
+        centers = dev["cell_centers"][tc].astype(wt_ct)
+        lengths = dev["cell_lengths"][tc].astype(wt_ct)
         loc = local[tc].astype(ct)
         w_t, dw_t = cheb.anterpolation_weights(
-            tp.astype(ct), centers, lengths, nodes_t, d, xp=jnp, with_gradients=with_grads
+            tp.astype(wt_ct), centers, lengths, nodes_t.astype(wt_ct), d,
+            xp=jnp, with_gradients=with_grads
         )
+        w_t = w_t.astype(ct)
+        if dw_t is not None:
+            dw_t = dw_t.astype(ct)
         if df:
             vals = df64_mod.ozaki_einsum("ltp,lpr->ltr", w_t, loc, nsl=kf, keep=kf)
         else:

@@ -69,6 +69,7 @@ class Level:
         self.point_indices = np.asarray(point_indices, np.int64)
         self.leaf_plans: list[LeafPlan] = []
         self.device: LevelBuckets | None = None
+        self.recompute = False  # factors rebuilt per application (10M path)
 
 
 def _next_multiple(n: int, m: int) -> int:
@@ -184,6 +185,37 @@ def _solve_bucket(residual, pts_idx, mask, internal, q_top, chol, *, k, n_out):
     return out[:n_out]
 
 
+@_partial(jax.jit, static_argnames=("kparams", "nugget", "k", "n_out", "dtype"))
+def _factor_solve_bucket(residual, pts_all, pts_idx, mask, internal, q_top,
+                         *, kparams, nugget, k, n_out, dtype):
+    """Recompute-from-points Schwarz solve: assemble + factor + solve in ONE
+    program, storing nothing between applications (VERDICT r3 item 9).
+
+    At >= ~3M points the finest level's stored Cholesky factors outgrow
+    HBM even at the 128-point leaf floor, and shrinking leaves collapses
+    the preconditioner's contraction (the r3 config-5 stall). Re-factoring
+    per application instead costs ~nb * S^3/3 f32 FLOPs on the MXU —
+    seconds per application at 10M points — and keeps leaves at FULL
+    strength with zero resident factor bytes. The reference has no
+    analogue (its shared-memory rayon build holds all factors,
+    ``domain_decomposition.rs:314``); this is the TPU-native trade of
+    FLOPs for HBM. Non-SPD blocks (NaN factors) drop their domain's
+    contribution for this application instead of the stored path's host
+    LDL rescue.
+    """
+    pts = pts_all[pts_idx]
+    chol = _factor_bucket(
+        pts, mask, q_top, kparams=kparams, nugget=nugget, k=k, dtype=dtype
+    )
+    bad = jnp.isnan(chol).any(axis=(1, 2))
+    spk = chol.shape[1]
+    chol = jnp.where(bad[:, None, None], jnp.eye(spk, dtype=chol.dtype)[None], chol)
+    internal = internal & ~bad[:, None]
+    return _solve_bucket(
+        residual, pts_idx, mask, internal, q_top, chol, k=k, n_out=n_out
+    )
+
+
 class DDMTree:
     """The multilevel overlapping decomposition, finest level first."""
 
@@ -234,9 +266,22 @@ class DDMTree:
         # coarse_ratio, so the sum over levels stays ~within budget)
         cap = int(0.4 * budget / max(m * q2 * bytes_per, 1.0))
         leaf = self.params.leaf_threshold
+        # Recompute-from-points mode (round 4): when the budget cannot fit
+        # even the 128-point leaf floor — the regime where the r3 3M fit
+        # stalled (floor-sized leaves collapse the multilevel contraction)
+        # — keep FULL-strength leaves and rebuild the level's factors per
+        # application instead of storing them (_factor_solve_bucket).
+        # FERREUS_RBF_TPU_DDM_RECOMPUTE=0 restores shrink-to-fit; =1 forces
+        # recompute whenever the cap falls below the user leaf.
+        rc_env = os.environ.get("FERREUS_RBF_TPU_DDM_RECOMPUTE", "auto")
+        if rc_env not in ("0", "false", "False") and (
+            cap < min(128, leaf)
+            or (rc_env in ("1", "true", "True") and cap < leaf)
+        ):
+            return leaf, True
         while leaf > 128 and leaf > cap:
             leaf //= 2
-        return leaf
+        return leaf, False
 
     # -------------------------------------------------------------- build
     def _build(self):
@@ -247,7 +292,7 @@ class DDMTree:
 
         while active.size > p.coarse_threshold:
             level = Level(active)
-            leaf_t = self._leaf_threshold_for(active.size)
+            leaf_t, level.recompute = self._leaf_threshold_for(active.size)
             # --- recursive median split (FIFO, like the reference) -------
             with traced_stage("ddm_split"):
                 queue = [(active, self._extents_of(active))]
@@ -362,6 +407,7 @@ class DDMTree:
             groups.setdefault((s_pad, plan.rank), []).append(plan)
 
         buckets = []
+        recompute = bool(getattr(level, "recompute", False))
         for (s_pad, k), plans in groups.items():
             nb = len(plans)
             pts_idx = np.zeros((nb, s_pad), np.int64)
@@ -375,6 +421,19 @@ class DDMTree:
                 internal[b, :npts] = plan.internal_mask
                 if k:
                     q_top[b, :, : npts - k] = plan.q_top
+            if recompute:
+                bucket = {
+                    "pts_idx": pts_idx,
+                    "mask": mask,
+                    "internal": internal,
+                    "q_top": q_top,
+                    "k": k,
+                }
+                committed = self._commit_bucket(bucket)
+                committed["recompute"] = True
+                committed["s_pad"] = s_pad
+                buckets.append(committed)
+                continue
             pts_b = self.points[pts_idx]
             # Factor in fixed-size batch chunks: assembling every domain's
             # (S, S) system at once scales as nb*S^2 temporaries (a 200k-pt
@@ -435,7 +494,9 @@ class DDMTree:
                 "chol": chol,
                 "k": k,
             }
-            buckets.append(self._commit_bucket(bucket))
+            committed = self._commit_bucket(bucket)
+            committed["recompute"] = False
+            buckets.append(committed)
         level.device = LevelBuckets(buckets)
 
     def _commit_bucket(self, bucket):
@@ -529,6 +590,9 @@ class DDMTree:
         n_out = residual.shape[0]
         out = jnp.zeros((n_out, residual.shape[1]), jnp.float64)
         for bucket in level.device.buckets:
+            if bucket.get("recompute"):
+                out = self._solve_recompute_bucket(bucket, res, out, n_out)
+                continue
             nb = int(bucket["chol"].shape[0])
             s_pad = int(bucket["chol"].shape[1])
             # Bound the batched triangular-solve temps: XLA materialises
@@ -553,6 +617,33 @@ class DDMTree:
                     n_out=n_out,
                 )
         return out  # device array; callers pull to host only when needed
+
+    def _solve_recompute_bucket(self, bucket, res, out, n_out):
+        """Assemble + factor + solve one storage-free bucket, chunked so the
+        per-chunk (c, S, S) assembly/factor transients stay ~2 GB."""
+        if not hasattr(self, "_pts_dev") or self._pts_dev is None:
+            self._pts_dev = jnp.asarray(self.points)
+        nb = int(bucket["pts_idx"].shape[0])
+        s_pad = int(bucket["s_pad"])
+        bytes_per = s_pad * s_pad * 8 * 6  # A + QTAQ temps + cholesky ws
+        chunk = max(1, min(nb, int(2e9) // max(bytes_per, 1)))
+        chunk = 1 << (chunk.bit_length() - 1)
+        for lo in range(0, nb, chunk):
+            hi = min(lo + chunk, nb)
+            out = out + _factor_solve_bucket(
+                res,
+                self._pts_dev,
+                bucket["pts_idx"][lo:hi],
+                bucket["mask"][lo:hi],
+                bucket["internal"][lo:hi],
+                bucket["q_top"][lo:hi],
+                kparams=self.settings.kernel_params(),
+                nugget=self.settings.nugget,
+                k=bucket["k"],
+                n_out=n_out,
+                dtype=self.factor_dtype,
+            )
+        return out
 
     def coarse_device_arrays(self):
         """Device-resident coarse solve data for the fused FGMRES cycle.

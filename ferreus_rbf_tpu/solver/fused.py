@@ -76,6 +76,18 @@ class FusedSystem:
         # vs 15.75 GB HBM). Past ~512 MB of factors the per-iteration
         # compute dwarfs the ~25-75 ms/iteration dispatch latency the fused
         # cycle exists to hide, so the host restart loop is the right mode.
+        # Recompute-from-points buckets (storage-free Schwarz at >= ~3M pts)
+        # re-assemble and re-factor inside each application — tracing that
+        # into one while-loop body would hold the full per-chunk assembly
+        # transients live across the cycle; keep the host restart loop.
+        if any(
+            b.get("recompute")
+            for level in ddm.levels[:-1]
+            if level.device is not None
+            for b in level.device.buckets
+        ):
+            self.ok = False
+            return
         factor_bytes = sum(
             int(np.prod(b["chol"].shape)) * b["chol"].dtype.itemsize
             for level in ddm.levels[:-1]

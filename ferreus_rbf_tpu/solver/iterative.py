@@ -162,30 +162,6 @@ def iterative_fit(rbfi):
     if m != 0:
         rhs = np.concatenate([values, np.zeros((m, num_cols))])
 
-    # One-M-step preconditioner diagnostic (VERDICT r3 item 8): when the
-    # global tracer is enabled (the bench enables it; tests do not), spend
-    # one preconditioner application + two matvecs to record (a) the
-    # one-M-step residual reduction at both precision tiers — separating
-    # "M is weak" from "A is inaccurate at this tier" — and (b) the
-    # f32-vs-f64-grade operator discrepancy on z = M b, the vector the
-    # solver actually feeds the operator. Supersedes scripts/mstep_diag.py.
-    if telemetry.global_tracer() is not None:
-        with traced_stage("m_step_diag"):
-            b0 = jnp.asarray(rhs[:, :1])
-            nb = max(float(jnp.linalg.norm(b0)), 1e-300)
-            z = system.precon(b0)
-            az32 = system.matvec(z, precision="f32")
-            az64 = system.matvec(z)
-            r32 = float(jnp.linalg.norm(b0 - az32)) / nb
-            r64 = float(jnp.linalg.norm(b0 - az64)) / nb
-            disc = float(jnp.linalg.norm(az32 - az64)) / max(
-                float(jnp.linalg.norm(az64)), 1e-300)
-            telemetry.record_event("m_step", {
-                "one_m_step_residual_f32": float(f"{r32:.3e}"),
-                "one_m_step_residual_f64grade": float(f"{r64:.3e}"),
-                "matvec_tier_discrepancy_on_Mb": float(f"{disc:.3e}"),
-            })
-
     point_coefficients = np.zeros((n, num_cols))
     poly_coefficients = np.zeros((m, num_cols)) if m else None
 
@@ -213,6 +189,33 @@ def iterative_fit(rbfi):
         point_coefficients[:, col] = sol[:n, 0]
         if m:
             poly_coefficients[:, col] = sol[n:, 0]
+
+    # One-M-step preconditioner diagnostic (VERDICT r3 item 8): when the
+    # global tracer is enabled (the bench enables it; tests do not), spend
+    # one preconditioner application + two matvecs to record (a) the
+    # one-M-step residual reduction at both precision tiers — separating
+    # "M is weak" from "A is inaccurate at this tier" — and (b) the
+    # f32-vs-f64-grade operator discrepancy on z = M b, the vector the
+    # solver actually feeds the operator. Runs AFTER the solve so every
+    # program it dispatches is already compiled (placed before the solve it
+    # charged ~100 s of cold compiles to the fit wall-clock, round 4).
+    # Supersedes scripts/mstep_diag.py.
+    if telemetry.global_tracer() is not None:
+        with traced_stage("m_step_diag"):
+            b0 = jnp.asarray(rhs[:, :1])
+            nb = max(float(jnp.linalg.norm(b0)), 1e-300)
+            z = system.precon(b0)
+            az32 = system.matvec(z, precision="f32")
+            az64 = system.matvec(z)
+            r32 = float(jnp.linalg.norm(b0 - az32)) / nb
+            r64 = float(jnp.linalg.norm(b0 - az64)) / nb
+            disc = float(jnp.linalg.norm(az32 - az64)) / max(
+                float(jnp.linalg.norm(az64)), 1e-300)
+            telemetry.record_event("m_step", {
+                "one_m_step_residual_f32": float(f"{r32:.3e}"),
+                "one_m_step_residual_f64grade": float(f"{r64:.3e}"),
+                "matvec_tier_discrepancy_on_Mb": float(f"{disc:.3e}"),
+            })
 
     return Coefficients(point_coefficients, poly_coefficients)
 

@@ -236,24 +236,43 @@ def test_ddm_per_level_leaf_sizing(monkeypatch):
     recovers monotonically as the level point count drops."""
     import jax.numpy as jnp
 
-    # hermetic: the thresholds below assume the default 5.0 GB budget
+    # hermetic: the thresholds below assume the default 5.0 GB budget and
+    # the shrink-to-fit mode (recompute off)
     monkeypatch.delenv("FERREUS_RBF_TPU_DDM_MEM_GB", raising=False)
+    monkeypatch.setenv("FERREUS_RBF_TPU_DDM_RECOMPUTE", "0")
 
     tree = DDMTree.__new__(DDMTree)
     tree.params = DDMParams(leaf_threshold=1024, overlap_quota=0.5)
     tree.factor_dtype = jnp.float32
 
-    t_fine = tree._leaf_threshold_for(3_000_000)
-    t_mid = tree._leaf_threshold_for(375_000)   # one coarse_ratio=0.125 step
-    t_small = tree._leaf_threshold_for(50_000)
+    t_fine, rc_fine = tree._leaf_threshold_for(3_000_000)
+    t_mid, _ = tree._leaf_threshold_for(375_000)   # one coarse_ratio=0.125 step
+    t_small, rc_small = tree._leaf_threshold_for(50_000)
     assert t_fine < tree.params.leaf_threshold  # finest level is memory-bound
     assert t_fine >= 128                        # never below the floor
     assert t_fine <= t_mid <= t_small           # recovers with level size
     assert t_small == tree.params.leaf_threshold  # small levels: user cap
+    assert not rc_fine and not rc_small         # recompute disabled
 
     # f64 factors cost 2x the bytes -> the same level sizes no larger
     tree.factor_dtype = jnp.float64
-    assert tree._leaf_threshold_for(3_000_000) <= t_fine
+    assert tree._leaf_threshold_for(3_000_000)[0] <= t_fine
+
+    # default mode: a level whose cap cannot fit even the 128-pt floor
+    # switches to recompute-from-points at FULL leaf strength (3M: cap=74);
+    # levels whose floor fits keep stored factors (1M: cap=222 -> leaf 128)
+    monkeypatch.delenv("FERREUS_RBF_TPU_DDM_RECOMPUTE", raising=False)
+    tree.factor_dtype = jnp.float32
+    t_rc, rc = tree._leaf_threshold_for(3_000_000)
+    assert rc and t_rc == tree.params.leaf_threshold
+    t_1m, rc_1m = tree._leaf_threshold_for(1_000_000)
+    assert not rc_1m and t_1m == 128
+    t_ok, rc_ok = tree._leaf_threshold_for(50_000)
+    assert not rc_ok and t_ok == tree.params.leaf_threshold
+    # forced mode: any capped level recomputes
+    monkeypatch.setenv("FERREUS_RBF_TPU_DDM_RECOMPUTE", "1")
+    t_f, rc_f = tree._leaf_threshold_for(1_000_000)
+    assert rc_f and t_f == tree.params.leaf_threshold
 
 
 # ------------------------------------------------------ end-to-end iterative
@@ -512,3 +531,43 @@ def test_stall_exit_then_escalation_telemetry():
     # (c) the final solve_done event reports convergence at tolerance
     done = [e for e in events if e["event"] == "solve_done"]
     assert done and done[-1]["converged"] is True, done
+
+
+def test_ddm_recompute_matches_stored_factors(monkeypatch):
+    """Storage-free Schwarz (VERDICT r3 item 9): with the memory budget
+    forced tiny, the fine level re-assembles + re-factors per application
+    (zero resident factor bytes) and the fit still converges to the same
+    tolerance as the stored-factor fit."""
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu as frt
+
+    pts = frt.generate_random_points(3000, 3, seed=13)
+    vals = frt.RBFTestFunctions.f1_3d(pts)
+    s = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.Linear)
+    params = _iter_params(frt.RBFKernelType.Linear)
+
+    monkeypatch.setenv("FERREUS_RBF_TPU_DDM_RECOMPUTE", "0")
+    r_stored = frt.RBFInterpolator(pts, vals, s, params)
+
+    # tiny budget: the finest level's cap falls below leaf/2 -> recompute
+    monkeypatch.setenv("FERREUS_RBF_TPU_DDM_MEM_GB", "0.00001")
+    monkeypatch.delenv("FERREUS_RBF_TPU_DDM_RECOMPUTE", raising=False)
+    r_rc = frt.RBFInterpolator(pts, vals, s, params)
+
+    from ferreus_rbf_tpu.solver.iterative import DeviceSystem  # noqa: F401
+
+    vref = np.asarray(vals).reshape(-1)
+    for rbfi, label in ((r_stored, "stored"), (r_rc, "recompute")):
+        pred = rbfi.evaluate_at_source(add_nugget=True)
+        rel = np.max(np.abs(pred - vref)) / np.max(np.abs(vref))
+        assert rel < 1e-5, (label, rel)
+
+    # the recompute fit really ran storage-free on its fine levels
+    ddm = frt.solver.ddm.DDMTree(
+        pts, s, params.ddm_params, factor_dtype=jnp.float32)
+    assert any(lv.recompute for lv in ddm.levels[:-1])
+    for lv in ddm.levels[:-1]:
+        if lv.recompute:
+            for b in lv.device.buckets:
+                assert "chol" not in b
