@@ -190,32 +190,35 @@ def iterative_fit(rbfi):
         if m:
             poly_coefficients[:, col] = sol[n:, 0]
 
-    # One-M-step preconditioner diagnostic (VERDICT r3 item 8): when the
-    # global tracer is enabled (the bench enables it; tests do not), spend
-    # one preconditioner application + two matvecs to record (a) the
+    # One-M-step preconditioner diagnostic (VERDICT r3 item 8 / r4 weak 5):
+    # stashed as a callable on the interpolator instead of running inline,
+    # so the fit wall-clock stays raw (the bench invokes it AFTER taking
+    # fit_s; every program it dispatches is already compiled by then). It
+    # spends one preconditioner application + two matvecs to record (a) the
     # one-M-step residual reduction at both precision tiers — separating
     # "M is weak" from "A is inaccurate at this tier" — and (b) the
     # f32-vs-f64-grade operator discrepancy on z = M b, the vector the
-    # solver actually feeds the operator. Runs AFTER the solve so every
-    # program it dispatches is already compiled (placed before the solve it
-    # charged ~100 s of cold compiles to the fit wall-clock, round 4).
-    # Supersedes scripts/mstep_diag.py.
-    if telemetry.global_tracer() is not None:
-        with traced_stage("m_step_diag"):
-            b0 = jnp.asarray(rhs[:, :1])
-            nb = max(float(jnp.linalg.norm(b0)), 1e-300)
-            z = system.precon(b0)
-            az32 = system.matvec(z, precision="f32")
-            az64 = system.matvec(z)
-            r32 = float(jnp.linalg.norm(b0 - az32)) / nb
-            r64 = float(jnp.linalg.norm(b0 - az64)) / nb
-            disc = float(jnp.linalg.norm(az32 - az64)) / max(
-                float(jnp.linalg.norm(az64)), 1e-300)
-            telemetry.record_event("m_step", {
-                "one_m_step_residual_f32": float(f"{r32:.3e}"),
-                "one_m_step_residual_f64grade": float(f"{r64:.3e}"),
-                "matvec_tier_discrepancy_on_Mb": float(f"{disc:.3e}"),
-            })
+    # solver actually feeds the operator. Supersedes scripts/mstep_diag.py.
+    def _m_step_diagnostic(_system=system, _rhs=rhs):
+        b0 = jnp.asarray(_rhs[:, :1])
+        nb = max(float(jnp.linalg.norm(b0)), 1e-300)
+        z = _system.precon(b0)
+        az32 = _system.matvec(z, precision="f32")
+        az64 = _system.matvec(z)
+        r32 = float(jnp.linalg.norm(b0 - az32)) / nb
+        r64 = float(jnp.linalg.norm(b0 - az64)) / nb
+        disc = float(jnp.linalg.norm(az32 - az64)) / max(
+            float(jnp.linalg.norm(az64)), 1e-300)
+        out = {
+            "one_m_step_residual_f32": float(f"{r32:.3e}"),
+            "one_m_step_residual_f64grade": float(f"{r64:.3e}"),
+            "matvec_tier_discrepancy_on_Mb": float(f"{disc:.3e}"),
+        }
+        if telemetry.global_tracer() is not None:
+            telemetry.record_event("m_step", out)
+        return out
+
+    rbfi.m_step_diagnostic = _m_step_diagnostic
 
     return Coefficients(point_coefficients, poly_coefficients)
 
