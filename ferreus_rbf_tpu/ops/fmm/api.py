@@ -310,7 +310,7 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
             # a (g*(S+1), k, r) 3-D table regressed 1.4x — its 8-wide f64
             # trailing axis maps onto 8 of 128 vreg lanes (measured
             # slot/zall/zall_flat2d = 31.7/43.9/20.5 ms, bitwise equal;
-            # scripts/profile_df64_passes.py).
+            # r4 pass profiling, summarised in docs/performance.md).
             g_cnt, k_r = vt_c.shape[0], vt_c.shape[1]
             n_src1, _, n_r = mult_src.shape
             z_all = df64_mod.ozaki_einsum(
