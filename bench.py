@@ -441,6 +441,34 @@ def config4_million(extra):
     _fit_config(extra, "config4_1m_biharmonic_fit", pts, sd, s, 1e-4, warm_fit=False)
 
 
+def config4_error_budget(extra):
+    """Truncation-vs-precision attribution at 200k (VERDICT r4 item 4).
+
+    Runs the ops.fmm.diagnostics sweep on the config-4 point distribution:
+    p in {5,7,9} x {dialed far field, full df64 dial, f32}, every variant
+    against one dense numpy-f64 oracle. Decides whether the at-scale oracle
+    gap is Chebyshev truncation (shared with the reference) or this
+    framework's df64 far-field dial. The at-1M p=9 fit demonstration lives
+    in docs/precision.md + the committed standalone log."""
+    from ferreus_rbf_tpu.ops.fmm.diagnostics import fmm_error_budget
+    from ferreus_rbf_tpu.ops.kernels import KernelParams, KernelType
+
+    n = 200_000
+    pts, _sd = _synthetic_sd(n)
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((n, 1))
+    budget = fmm_error_budget(pts, w, KernelParams(KernelType.LinearRbf),
+                              orders=(5, 7, 9), n_sample=256)
+    extra["error_budget_full"] = budget
+    by = {(e["p"], e["prec"]): e["err"] for e in budget["entries"]}
+    extra["error_budget_c4"] = {
+        **{f"p{p}": [by.get((p, "dialed")), by.get((p, "full")),
+                     by.get((p, "f32"))] for p in (5, 7, 9)},
+        "order": "[dialed,full,f32]",
+        "verdict": budget["verdict"],
+    }
+
+
 def config5_3m_rmt(extra):
     """3M fit + RMT with a compile-failure recovery ladder (VERDICT r4 item 2):
     a transient remote-compile HTTP 500 killed the whole config in r4, so each
@@ -636,6 +664,7 @@ def main():
         ("config3", lambda: config3_albatite(extra), 300),
         ("config1", lambda: config1_tps2d(extra), 200),
         ("gradients", lambda: config2_gradients(extra), 250),
+        ("errbudget", lambda: config4_error_budget(extra), 300),
         ("config4", lambda: config4_million(extra), 600),
         ("config5", lambda: config5_3m_rmt(extra), 900),
     ]

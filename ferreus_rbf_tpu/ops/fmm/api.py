@@ -172,6 +172,56 @@ def _pallas_default() -> bool:
 from functools import partial as _partial
 
 
+def _p2m_apply(mult, xs, pts_c, nodes_t, *, d, ct, wt_ct, df, kf,
+               w_sorted=None):
+    """Shared P2M body: anterpolate + contract each leaf chunk of ``xs``
+    (idx, msk, ctr, len, cells[, wb]) into ``mult`` (scan when >1 chunk).
+    Used by :func:`_upward` (full scan) and :func:`_sharded_upward` (each
+    device's chunk slice)."""
+
+    def p2m_chunk(mult_acc, sl):
+        idx, msk, ctr, ln, cells = sl[:5]
+        w_t, _ = cheb.anterpolation_weights(
+            pts_c[idx].astype(wt_ct), ctr.astype(wt_ct), ln.astype(wt_ct),
+            nodes_t.astype(wt_ct), d, xp=jnp
+        )
+        w_t = w_t.astype(ct)
+        # Mask pad SLOTS on the weight side too: their garbage points sit
+        # far outside the cell and the Chebyshev extrapolation explodes
+        # (observed 1.7e11) — harmless against zero wb in exact arithmetic,
+        # but it poisons the df64 split-dot's per-row scaling (the slot
+        # axis is the contraction axis) and costs ~38 bits of resolution.
+        w_t = jnp.where(msk[..., None], w_t, ct(0.0))
+        if len(sl) == 6:
+            wb = sl[5]  # pre-gathered, already masked
+        else:
+            wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
+        if df:
+            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb, nsl=kf, keep=kf)
+        else:
+            contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
+        return mult_acc.at[cells].add(contrib, mode="drop"), None
+
+    if xs[0].shape[0] == 1:
+        mult, _ = p2m_chunk(mult, tuple(a[0] for a in xs))
+    else:
+        mult, _ = jax.lax.scan(p2m_chunk, mult, xs)
+    return mult
+
+
+def _m2m_apply(dev, mult, *, ct, df, kf):
+    """Shared bottom-up M2M sweep over the plan's octant groups."""
+    m2m_c = dev["m2m_ops"].astype(ct)
+    for ch_t, pa_t in dev["m2m_groups"]:
+        x = mult[ch_t]  # (2^d, cmax, p^d, r); pads gather row 0
+        if df:
+            contrib = df64_mod.ozaki_einsum("opq,ocqr->ocpr", m2m_c, x, nsl=kf, keep=kf)
+        else:
+            contrib = jnp.einsum("opq,ocqr->ocpr", m2m_c, x)
+        mult = mult.at[pa_t].add(contrib, mode="drop")  # pads scatter-drop
+    return mult
+
+
 @_partial(jax.jit, static_argnames=("prec",))
 def _upward(dev, weights, w_tiles=None, *, prec="f64"):
     """weights (N, nrhs), original point order -> (multipole, w_sorted).
@@ -222,46 +272,81 @@ def _upward(dev, weights, w_tiles=None, *, prec="f64"):
     # dials keep f64 generation.
     wt_ct = jnp.float32 if (df and kf <= 3) else ct
 
-    def p2m_chunk(mult_acc, sl):
-        idx, msk, ctr, ln, cells = sl[:5]
-        w_t, _ = cheb.anterpolation_weights(
-            pts_c[idx].astype(wt_ct), ctr.astype(wt_ct), ln.astype(wt_ct),
-            nodes_t.astype(wt_ct), d, xp=jnp
-        )
-        w_t = w_t.astype(ct)
-        # Mask pad SLOTS on the weight side too: their garbage points sit
-        # far outside the cell and the Chebyshev extrapolation explodes
-        # (observed 1.7e11) — harmless against zero wb in exact arithmetic,
-        # but it poisons the df64 split-dot's per-row scaling (the slot
-        # axis is the contraction axis) and costs ~38 bits of resolution.
-        w_t = jnp.where(msk[..., None], w_t, ct(0.0))
-        if len(sl) == 6:
-            wb = sl[5]  # pre-gathered, already masked
-        else:
-            wb = jnp.where(msk[..., None], w_sorted[idx].astype(ct), ct(0.0))
-        if df:
-            contrib = df64_mod.ozaki_einsum("lsp,lsr->lpr", w_t, wb, nsl=kf, keep=kf)
-        else:
-            contrib = jnp.einsum("lsp,lsr->lpr", w_t, wb)
-        return mult_acc.at[cells].add(contrib, mode="drop"), None
-
     xs = (idx_r, msk_r, ctr_r, len_r, cells_r)
     if wb_r is not None:
         xs = xs + (wb_r,)
-    if idx_r.shape[0] == 1:
-        mult, _ = p2m_chunk(mult, tuple(a[0] for a in xs))
-    else:
-        mult, _ = jax.lax.scan(p2m_chunk, mult, xs)
+    mult = _p2m_apply(mult, xs, pts_c, nodes_t, d=d, ct=ct, wt_ct=wt_ct,
+                      df=df, kf=kf, w_sorted=w_sorted)
     mult = mult[:-1]  # drop the pad-leaf sentinel row
+    mult = _m2m_apply(dev, mult, ct=ct, df=df, kf=kf)
+    return mult.astype(jnp.float64), w_sorted
 
-    m2m_c = dev["m2m_ops"].astype(ct)
-    for ch_t, pa_t in dev["m2m_groups"]:
-        x = mult[ch_t]  # (2^d, cmax, p^d, r); pads gather row 0
-        if df:
-            contrib = df64_mod.ozaki_einsum("opq,ocqr->ocpr", m2m_c, x, nsl=kf, keep=kf)
-        else:
-            contrib = jnp.einsum("opq,ocqr->ocpr", m2m_c, x)
-        mult = mult.at[pa_t].add(contrib, mode="drop")  # pads scatter-drop
+
+def _sharded_upward(mesh, dev, weights, w_tiles, *, prec):
+    """P2M with the leaf-chunk axis partitioned over "sp"; M2M replicated.
+
+    The upward pass is NOT a small per-matvec cost (measured 7.0 of
+    19.0 ms f32 / 17.5 of 72.5 ms df64 at 100k points, round 4 — the r1-r3
+    sharding docs claimed otherwise and were wrong). P2M is leaf-parallel
+    exactly like the near field (the reference's rayon leaf loop,
+    ``bbfmm.rs:669-682``): each device anterpolates its own slice of the
+    (nchunk, chunk) leaf tables into a local multipole accumulator and ONE
+    ``psum`` over "sp" merges them — each leaf cell is written by exactly
+    one chunk row, so every cell's value is produced by a single device
+    and the psum adds it to zeros: n-device results stay BITWISE equal to
+    the 1-device program. The psum moves the (ncells+1, p^d, nrhs) array
+    (a few MB at 1M points) over ICI once per matvec. M2M stays
+    replicated: it touches ~1/2^d of the cells with einsums too small to
+    win back a collective.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    df = prec.startswith("df64")
+    kf = _far_keep_for(prec) if df else _DF64_KEEP
+    ct = jnp.float32 if prec == "f32" else jnp.float64
+    wt_ct = jnp.float32 if (df and kf <= 3) else ct
+    w_sorted = weights[dev["point_order"]]
+    ncells = dev["cell_centers"].shape[0]
+    nnodes = dev["m2m_ops"].shape[1]
+    d = dev["cell_centers"].shape[1]
+    nodes_t = dev["nodes_t"].astype(ct)
+    pts_c = dev["pts_sorted"].astype(ct)
+
+    idx_r, msk_r, ctr_r, len_r, cells_r = dev["p2m_scan"]
+    nchunk, chunk = idx_r.shape[0], idx_r.shape[1]
+    nsp = int(mesh.shape["sp"])
+    ncp = -(-nchunk // nsp) * nsp  # pad chunks so the axis divides the mesh
+
+    nsl = dev["src_bucket_idx"].shape[0] - 1
+    smax = dev["src_bucket_idx"].shape[1]
+    wb_all = w_tiles[:nsl, :smax, :].astype(ct)
+    if ncp * chunk > nsl:
+        wb_all = jnp.pad(wb_all, ((0, ncp * chunk - nsl), (0, 0), (0, 0)))
+    wb_r = wb_all.reshape((ncp, chunk) + wb_all.shape[1:])
+
+    def _padc(a, const):
+        if ncp == nchunk:
+            return a
+        pad = [(0, ncp - nchunk)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad, constant_values=const)
+
+    # pad-chunk values mirror the plan's sentinel rows (api plan build):
+    # idx 0, mask False, centre/length 1, cell = the dropped sentinel row
+    xs = (_padc(idx_r, 0), _padc(msk_r, False), _padc(ctr_r, 1.0),
+          _padc(len_r, 1.0), _padc(cells_r, ncells), wb_r)
+
+    def block(*xs_b):
+        mult0 = jnp.zeros((ncells + 1, nnodes, weights.shape[1]), ct)
+        mult_loc = _p2m_apply(mult0, xs_b, pts_c, nodes_t, d=d, ct=ct,
+                              wt_ct=wt_ct, df=df, kf=kf)
+        return jax.lax.psum(mult_loc, "sp")
+
+    mult = jax.shard_map(
+        block, mesh=mesh, in_specs=(P("sp"),) * 6, out_specs=P(),
+        check_vma=False,
+    )(*xs)
+    mult = mult[:-1]
+    mult = _m2m_apply(dev, mult, ct=ct, df=df, kf=kf)
     return mult.astype(jnp.float64), w_sorted
 
 
@@ -910,10 +995,13 @@ def _matvec_fused_sharded(
     of the bucketed layout (targets, neighbour-table columns, outputs) and
     reads the replicated leaf/node tile tables. No collective is needed
     inside the leaf pass (row outputs are disjoint); the only cross-device
-    traffic is GSPMD's gather for the final un-bucketing. The upward pass
-    and the M2L/L2L downward sweep run replicated (they are a small
-    fraction of the per-matvec cost; cf. the rayon leaf loops at
-    ``bbfmm.rs:1123-1357``).
+    traffic is GSPMD's gather for the final un-bucketing. P2M is
+    leaf-chunk-sharded with one psum (:func:`_sharded_upward`) and M2L is
+    target-slot-sharded when the slots divide the mesh
+    (:func:`_sharded_m2l`); only M2M, P2L and L2L run replicated — at
+    100k/f32 those are ~2 of 19 ms per matvec (cf. the rayon leaf loops at
+    ``bbfmm.rs:1123-1357``; measured fractions + the scaling curve live in
+    docs/sharding.md).
 
     With ``use_pallas`` (TPU backends) the per-device near field runs the
     SAME fused Pallas kernels as the single-chip path — slab/pair-grid P2P
@@ -936,7 +1024,7 @@ def _matvec_fused_sharded(
         weights.astype(ct)[dev["src_tile_orig_idx"]],
         ct(0.0),
     )
-    mult, w_sorted = _upward(dev, weights, w_tiles_pre, prec=prec)
+    mult, w_sorted = _sharded_upward(mesh, dev, weights, w_tiles_pre, prec=prec)
 
     # M2L sharded over target slots when every level's padded slot count
     # divides the mesh; P2L/L2L stay replicated (cheap tail)

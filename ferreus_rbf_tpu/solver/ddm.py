@@ -150,6 +150,23 @@ def _factor_bucket(pts, mask, q_top, *, kparams, nugget, k, dtype):
     else:
         lhs = a
     chol = jnp.linalg.cholesky(lhs)
+    if ct == jnp.float32:
+        # Device-side rescue rung: conditionally-PD kernels (TPS: zero
+        # diagonal) assemble QTAQ blocks whose leading minors can go
+        # negative under f32 rounding — at 10k TPS-2D a handful of domains
+        # failed EVERY fit, and the host LDL rescue cost a full factor-set
+        # pull (~5 s through the tunnel) + host refactor per fit. Where a
+        # block's factor has NaNs, substitute the factor of a stronger
+        # diagonally-shifted block (1e-4 relative): the shift perturbs only
+        # the PRECONDITIONER (FGMRES is flexible), and one extra batched
+        # Cholesky is noise next to the assembly einsums. Blocks that fail
+        # even shifted still fall through to the host LDL rescue.
+        bad = jnp.isnan(chol).any(axis=(1, 2))
+        sdim = lhs.shape[1]
+        dmag = jnp.max(jnp.abs(lhs), axis=(1, 2), keepdims=True)
+        chol2 = jnp.linalg.cholesky(
+            lhs + (1e-4 * dmag) * jnp.eye(sdim, dtype=ct))
+        chol = jnp.where(bad[:, None, None], chol2, chol)
     return chol.astype(dtype)
 
 

@@ -45,10 +45,227 @@ def _givens_device(f, g):
     return c, s, r
 
 
+def _freeze(obj):
+    """Recursively hashable view of nested dict/list/array metadata."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    if isinstance(obj, np.ndarray):
+        return (obj.shape, str(obj.dtype), obj.tobytes())
+    return obj
+
+
+# statics-signature -> _FusedOps. Reusing the ops object across fits reuses
+# its jitted cycle CLOSURES, so jax's in-process pjit cache hits: a fresh
+# closure per fit re-traced and re-deserialized ~9 s of executables from the
+# persistent compile cache on every warm fit (measured at 10k pts, r5).
+# _FusedOps holds statics only — no device arrays — so the cache pins no HBM.
+_OPS_CACHE: dict = {}
+_OPS_CACHE_MAX = 16
+
+
+class _FusedOps:
+    """The static half of a fused system: everything the traced operators
+    close over EXCEPT the device arrays (those travel in the ``state``
+    pytree argument). Two fits with equal statics + equal state treedef get
+    the very same ops object and therefore the same jitted cycle."""
+
+    def __init__(self, n, m, nugget, kparams, d, p, use_pallas, ecs,
+                 f64_prec, n_fine, coarse_k, coarse_poly, bucket_k, bmeta):
+        self.n = n
+        self.m = m
+        self.nugget = nugget
+        self.kparams = kparams
+        self.d = d
+        self.p = p
+        self.use_pallas = use_pallas
+        self.ecs = ecs
+        self.f64_prec = f64_prec
+        self.n_fine = n_fine
+        self.coarse_k = coarse_k
+        self.coarse_poly = coarse_poly
+        self._bucket_k = bucket_k
+        self._bmeta = bmeta
+        self._cycles = {}
+
+    @staticmethod
+    def _k(key):
+        """Pytree-safe dict key (tuples collide with jax's key sorting)."""
+        return str(key)
+
+    # ----------------------------------------------------- pure operators
+    def _fmm_eval(self, state, wp, key, prec):
+        arrs = state["binned"][key]
+        meta = self._bmeta[key]
+        vals, _m, _l, _w = fmm_api._matvec_fused(
+            state["dev"], wp,
+            arrs["targets_pad"], arrs["tgt_idx"], arrs["tgt_mask"], arrs["tcells"],
+            arrs["p2p_by_prec"][prec], arrs["m2p_by_prec"][prec], arrs["nbr_tab"],
+            arrs["wtab_by_prec"][prec], arrs["upairs_by_prec"][prec],
+            arrs["inv_row"], arrs["inv_slot"],
+            kparams=self.kparams, d=self.d, p=self.p, n_pad=meta["n_pad"],
+            p2p_meta=meta["p2p_meta"][prec], m2p_meta=meta["m2p_meta"][prec],
+            prec=prec, use_pallas=self.use_pallas, ecs=self.ecs,
+        )
+        return vals[: meta["ntargets"]]
+
+    def matvec(self, state, w, prec):
+        wp = w[: self.n]
+        vals = self._fmm_eval(state, wp, self._k("__all__"), prec)
+        top = vals + self.nugget * wp
+        if self.m:
+            top = top + state["monomial"] @ w[self.n:]
+            return jnp.concatenate([top, jnp.zeros((self.m, w.shape[1]))])
+        return top
+
+    def _matvec_partial(self, state, w, level_key):
+        wp = w[: self.n]
+        idx = state["lvl_idx"][self._k(level_key)]
+        vals = self._fmm_eval(state, wp, self._k(("lvl", level_key)), "f32")
+        rows = vals + self.nugget * wp[idx]
+        if self.m:
+            rows = rows + state["monomial"][idx] @ w[self.n:]
+        return jnp.zeros_like(w).at[idx].set(rows)
+
+    def _solve_fine(self, state, i, residual):
+        n_out = self.n + self.m
+        out = jnp.zeros((n_out, residual.shape[1]), jnp.float64)
+        for arrs, k in zip(state["ddm"][i], self._bucket_k[i]):
+            out = out + _solve_bucket(
+                residual, arrs["pts_idx"], arrs["mask"], arrs["internal"],
+                arrs["q_top"], arrs["chol"], k=k, n_out=n_out,
+            )
+        return out
+
+    def _solve_coarse(self, state, residual, add_poly):
+        c = state["coarse"]
+        k = self.coarse_k
+        gathered = residual[c["idx"]]
+        rhs = c["q_top"].T @ gathered[:k] + gathered[k:] if k else gathered
+        y = jax.scipy.linalg.solve_triangular(c["chol"], rhs, lower=True)
+        gamma = jax.scipy.linalg.solve_triangular(c["chol"].T, y, lower=False)
+        coeffs = jnp.concatenate([c["q_top"] @ gamma, gamma]) if k else gamma
+        out = jnp.zeros_like(residual).at[c["idx"]].set(coeffs)
+        if self.coarse_poly and add_poly:
+            resid = gathered[:k] - c["a_special"] @ coeffs
+            out = out.at[self.n:].set(c["inv_special"] @ resid)
+        return out
+
+    def precon(self, state, rg):
+        """Multilevel Schwarz, traceable (cf. schwarz.schwarz_preconditioner)."""
+        sl = jnp.zeros_like(rg)
+        if self.n_fine > 0:
+            for i in range(self.n_fine):
+                # matvec(0) == 0: skip the first restricted matvec
+                res = rg if i == 0 else rg - self._matvec_partial(state, sl, i)
+                s1 = self._solve_fine(state, i, res)
+                if self.m:
+                    q = state["ortho_q"]
+                    proj = q.T @ s1[: self.n]
+                    s1 = s1.at[: self.n].add(-(q @ proj))
+                sl = sl + s1
+                res = rg - self._matvec_partial(state, sl, "coarse")
+                sl = sl + self._solve_coarse(state, res, add_poly=(i == self.n_fine - 1))
+        else:
+            sl = sl + self._solve_coarse(state, rg, add_poly=True)
+        return sl
+
+    # ------------------------------------------------------- fused cycle
+    def cycle_fn(self, prec, tol_abs, mi):
+        """One restart cycle (mi inner iterations in a while_loop) as a
+        jitted function of (state, b, x, r, beta, tol) -> (x, r, stats).
+
+        ``stats`` packs [res_g, res_r, jf, hist...] into ONE f64 vector so
+        the host loop makes a single device pull per cycle (four separate
+        scalar pulls cost ~140 ms EACH through the tunnel, ~10 s of a 26 s
+        warm 10k fit)."""
+        key = (prec, bool(tol_abs), int(mi))
+        if key in self._cycles:
+            return self._cycles[key]
+        n_tot = self.n + self.m
+
+        @jax.jit
+        def cycle(state, b, x, r, beta, tol):
+            r_norm = jnp.linalg.norm(r)
+            v0 = jnp.where(r_norm > 0.0, r[:, 0] / r_norm, r[:, 0])
+            V = jnp.zeros((n_tot, mi + 1), jnp.float64).at[:, 0].set(v0)
+            Z = jnp.zeros((n_tot, mi), jnp.float64)
+            H = jnp.zeros((mi + 1, mi), jnp.float64)
+            g = jnp.zeros(mi + 1, jnp.float64).at[0].set(r_norm)
+            cs = jnp.zeros(mi, jnp.float64)
+            sn = jnp.zeros(mi, jnp.float64)
+            hist = jnp.zeros(mi, jnp.float64)
+
+            def cond(carry):
+                _V, _Z, _H, _g, _cs, _sn, j, res, _hist = carry
+                return (j < mi) & (res >= tol)
+
+            def body(carry):
+                V, Z, H, g, cs, sn, j, _res, hist = carry
+                vj = lax.dynamic_slice_in_dim(V, j, 1, axis=1)
+                w = self.precon(state, vj)
+                Z = lax.dynamic_update_slice_in_dim(Z, w, j, axis=1)
+                wj = self.matvec(state, w, prec)[:, 0]
+                # CGS2 over the masked basis (cols <= j); "twice is enough"
+                colmask = (jnp.arange(mi + 1) <= j).astype(jnp.float64)
+                h1 = (V.T @ wj) * colmask
+                wj = wj - V @ h1
+                h2 = (V.T @ wj) * colmask
+                wj = wj - V @ h2
+                norm = jnp.linalg.norm(wj)
+                hcol = (h1 + h2).at[j + 1].set(norm)
+
+                def rot(i, hc):
+                    t1 = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                    t2 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+                    on = i < j
+                    return hc.at[i].set(jnp.where(on, t1, hc[i])).at[i + 1].set(
+                        jnp.where(on, t2, hc[i + 1])
+                    )
+
+                hcol = lax.fori_loop(0, mi, rot, hcol)
+                c, s, _r = _givens_device(hcol[j], hcol[j + 1])
+                hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
+                gj, gj1 = g[j], g[j + 1]
+                g = g.at[j].set(c * gj + s * gj1).at[j + 1].set(-s * gj + c * gj1)
+                cs = cs.at[j].set(c)
+                sn = sn.at[j].set(s)
+                H = lax.dynamic_update_slice_in_dim(H, hcol[:, None], j, axis=1)
+                vnew = jnp.where(norm != 0.0, wj / norm, wj)
+                V = lax.dynamic_update_slice_in_dim(V, vnew[:, None], j + 1, axis=1)
+                res = jnp.abs(g[j + 1]) if tol_abs else jnp.abs(g[j + 1]) / beta
+                hist = hist.at[j].set(res)
+                return V, Z, H, g, cs, sn, j + 1, res, hist
+
+            init = (V, Z, H, g, cs, sn, jnp.int32(0), jnp.float64(jnp.inf), hist)
+            V, Z, H, g, cs, sn, jf, res_g, hist = lax.while_loop(cond, body, init)
+
+            # masked back-substitution: unit diagonal + zero rhs beyond jf
+            pad = (jnp.arange(mi) >= jf).astype(jnp.float64)
+            Hs = H[:mi, :mi] + jnp.diag(pad)
+            gs = jnp.where(jnp.arange(mi) < jf, g[:mi], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Hs, gs, lower=False)
+            x = x + Z @ y[:, None]
+            r = b - self.matvec(state, x, prec)
+            res_r = (
+                jnp.max(jnp.abs(r)) if tol_abs else jnp.linalg.norm(r) / beta
+            )
+            stats = jnp.concatenate([
+                jnp.stack([res_g, res_r, jf.astype(jnp.float64)]), hist])
+            return x, r, stats
+
+        self._cycles[key] = cycle
+        return cycle
+
+
 class FusedSystem:
     """Pure-functional view of a ``DeviceSystem``: every device array in one
-    pytree (``self.state``), every static in the closure — so the operators
-    and the full FGMRES cycle can be traced into a single program."""
+    pytree (``self.state``), every static on a ``_FusedOps`` (shared across
+    fits with equal statics) — so the operators and the full FGMRES cycle
+    can be traced into a single program, and repeat fits reuse it."""
+
+    _k = staticmethod(_FusedOps._k)
 
     def __init__(self, system):
         tree = system.fmm_tree
@@ -151,179 +368,44 @@ class FusedSystem:
 
         # fine Schwarz levels: arrays per bucket; k (static) kept separately
         state["ddm"] = []
-        self._bucket_k = []
+        bucket_k = []
         for level in ddm.levels[:-1]:
             larr, lk = [], []
             for bucket in level.device.buckets:
                 larr.append({k: bucket[k] for k in ("pts_idx", "mask", "internal", "q_top", "chol")})
                 lk.append(bucket["k"])
             state["ddm"].append(larr)
-            self._bucket_k.append(lk)
+            bucket_k.append(tuple(lk))
+        bucket_k = tuple(bucket_k)
 
         self.state = state
-        self._cycles = {}
-
-    @staticmethod
-    def _k(key):
-        """Pytree-safe dict key (tuples collide with jax's key sorting)."""
-        return str(key)
-
-    # ----------------------------------------------------- pure operators
-    def _fmm_eval(self, state, wp, key, prec):
-        arrs = state["binned"][key]
-        meta = self._bmeta[key]
-        vals, _m, _l, _w = fmm_api._matvec_fused(
-            state["dev"], wp,
-            arrs["targets_pad"], arrs["tgt_idx"], arrs["tgt_mask"], arrs["tcells"],
-            arrs["p2p_by_prec"][prec], arrs["m2p_by_prec"][prec], arrs["nbr_tab"],
-            arrs["wtab_by_prec"][prec], arrs["upairs_by_prec"][prec],
-            arrs["inv_row"], arrs["inv_slot"],
-            kparams=self.kparams, d=self.d, p=self.p, n_pad=meta["n_pad"],
-            p2p_meta=meta["p2p_meta"][prec], m2p_meta=meta["m2p_meta"][prec],
-            prec=prec, use_pallas=self.use_pallas, ecs=self.ecs,
+        sig = (
+            self.n, self.m, float(self.nugget), self.kparams, self.d, self.p,
+            self.use_pallas, self.ecs, self.f64_prec, self.n_fine,
+            self.coarse_k, bool(self.coarse_poly), bucket_k,
+            _freeze(self._bmeta), jax.tree_util.tree_structure(state),
         )
-        return vals[: meta["ntargets"]]
-
-    def matvec(self, state, w, prec):
-        wp = w[: self.n]
-        vals = self._fmm_eval(state, wp, self._k("__all__"), prec)
-        top = vals + self.nugget * wp
-        if self.m:
-            top = top + state["monomial"] @ w[self.n:]
-            return jnp.concatenate([top, jnp.zeros((self.m, w.shape[1]))])
-        return top
-
-    def _matvec_partial(self, state, w, level_key):
-        wp = w[: self.n]
-        idx = state["lvl_idx"][self._k(level_key)]
-        vals = self._fmm_eval(state, wp, self._k(("lvl", level_key)), "f32")
-        rows = vals + self.nugget * wp[idx]
-        if self.m:
-            rows = rows + state["monomial"][idx] @ w[self.n:]
-        return jnp.zeros_like(w).at[idx].set(rows)
-
-    def _solve_fine(self, state, i, residual):
-        n_out = self.n + self.m
-        out = jnp.zeros((n_out, residual.shape[1]), jnp.float64)
-        for arrs, k in zip(state["ddm"][i], self._bucket_k[i]):
-            out = out + _solve_bucket(
-                residual, arrs["pts_idx"], arrs["mask"], arrs["internal"],
-                arrs["q_top"], arrs["chol"], k=k, n_out=n_out,
+        ops = _OPS_CACHE.get(sig)
+        if ops is None:
+            if len(_OPS_CACHE) >= _OPS_CACHE_MAX:
+                _OPS_CACHE.pop(next(iter(_OPS_CACHE)))
+            ops = _FusedOps(
+                self.n, self.m, self.nugget, self.kparams, self.d, self.p,
+                self.use_pallas, self.ecs, self.f64_prec, self.n_fine,
+                self.coarse_k, self.coarse_poly, bucket_k, self._bmeta,
             )
-        return out
+            _OPS_CACHE[sig] = ops
+        self.ops = ops
 
-    def _solve_coarse(self, state, residual, add_poly):
-        c = state["coarse"]
-        k = self.coarse_k
-        gathered = residual[c["idx"]]
-        rhs = c["q_top"].T @ gathered[:k] + gathered[k:] if k else gathered
-        y = jax.scipy.linalg.solve_triangular(c["chol"], rhs, lower=True)
-        gamma = jax.scipy.linalg.solve_triangular(c["chol"].T, y, lower=False)
-        coeffs = jnp.concatenate([c["q_top"] @ gamma, gamma]) if k else gamma
-        out = jnp.zeros_like(residual).at[c["idx"]].set(coeffs)
-        if self.coarse_poly and add_poly:
-            resid = gathered[:k] - c["a_special"] @ coeffs
-            out = out.at[self.n:].set(c["inv_special"] @ resid)
-        return out
+    # thin delegates: the traced operators live on the shared _FusedOps
+    def matvec(self, state, w, prec):
+        return self.ops.matvec(state, w, prec)
 
     def precon(self, state, rg):
-        """Multilevel Schwarz, traceable (cf. schwarz.schwarz_preconditioner)."""
-        sl = jnp.zeros_like(rg)
-        if self.n_fine > 0:
-            for i in range(self.n_fine):
-                # matvec(0) == 0: skip the first restricted matvec
-                res = rg if i == 0 else rg - self._matvec_partial(state, sl, i)
-                s1 = self._solve_fine(state, i, res)
-                if self.m:
-                    q = state["ortho_q"]
-                    proj = q.T @ s1[: self.n]
-                    s1 = s1.at[: self.n].add(-(q @ proj))
-                sl = sl + s1
-                res = rg - self._matvec_partial(state, sl, "coarse")
-                sl = sl + self._solve_coarse(state, res, add_poly=(i == self.n_fine - 1))
-        else:
-            sl = sl + self._solve_coarse(state, rg, add_poly=True)
-        return sl
+        return self.ops.precon(state, rg)
 
-    # ------------------------------------------------------- fused cycle
     def cycle_fn(self, prec, tol_abs, mi):
-        """One restart cycle (mi inner iterations in a while_loop) as a
-        jitted function of (state, b, x, r, beta, tol)."""
-        key = (prec, bool(tol_abs), int(mi))
-        if key in self._cycles:
-            return self._cycles[key]
-        n_tot = self.n + self.m
-
-        @jax.jit
-        def cycle(state, b, x, r, beta, tol):
-            r_norm = jnp.linalg.norm(r)
-            v0 = jnp.where(r_norm > 0.0, r[:, 0] / r_norm, r[:, 0])
-            V = jnp.zeros((n_tot, mi + 1), jnp.float64).at[:, 0].set(v0)
-            Z = jnp.zeros((n_tot, mi), jnp.float64)
-            H = jnp.zeros((mi + 1, mi), jnp.float64)
-            g = jnp.zeros(mi + 1, jnp.float64).at[0].set(r_norm)
-            cs = jnp.zeros(mi, jnp.float64)
-            sn = jnp.zeros(mi, jnp.float64)
-            hist = jnp.zeros(mi, jnp.float64)
-
-            def cond(carry):
-                _V, _Z, _H, _g, _cs, _sn, j, res, _hist = carry
-                return (j < mi) & (res >= tol)
-
-            def body(carry):
-                V, Z, H, g, cs, sn, j, _res, hist = carry
-                vj = lax.dynamic_slice_in_dim(V, j, 1, axis=1)
-                w = self.precon(state, vj)
-                Z = lax.dynamic_update_slice_in_dim(Z, w, j, axis=1)
-                wj = self.matvec(state, w, prec)[:, 0]
-                # CGS2 over the masked basis (cols <= j); "twice is enough"
-                colmask = (jnp.arange(mi + 1) <= j).astype(jnp.float64)
-                h1 = (V.T @ wj) * colmask
-                wj = wj - V @ h1
-                h2 = (V.T @ wj) * colmask
-                wj = wj - V @ h2
-                norm = jnp.linalg.norm(wj)
-                hcol = (h1 + h2).at[j + 1].set(norm)
-
-                def rot(i, hc):
-                    t1 = cs[i] * hc[i] + sn[i] * hc[i + 1]
-                    t2 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
-                    on = i < j
-                    return hc.at[i].set(jnp.where(on, t1, hc[i])).at[i + 1].set(
-                        jnp.where(on, t2, hc[i + 1])
-                    )
-
-                hcol = lax.fori_loop(0, mi, rot, hcol)
-                c, s, _r = _givens_device(hcol[j], hcol[j + 1])
-                hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
-                gj, gj1 = g[j], g[j + 1]
-                g = g.at[j].set(c * gj + s * gj1).at[j + 1].set(-s * gj + c * gj1)
-                cs = cs.at[j].set(c)
-                sn = sn.at[j].set(s)
-                H = lax.dynamic_update_slice_in_dim(H, hcol[:, None], j, axis=1)
-                vnew = jnp.where(norm != 0.0, wj / norm, wj)
-                V = lax.dynamic_update_slice_in_dim(V, vnew[:, None], j + 1, axis=1)
-                res = jnp.abs(g[j + 1]) if tol_abs else jnp.abs(g[j + 1]) / beta
-                hist = hist.at[j].set(res)
-                return V, Z, H, g, cs, sn, j + 1, res, hist
-
-            init = (V, Z, H, g, cs, sn, jnp.int32(0), jnp.float64(jnp.inf), hist)
-            V, Z, H, g, cs, sn, jf, res_g, hist = lax.while_loop(cond, body, init)
-
-            # masked back-substitution: unit diagonal + zero rhs beyond jf
-            pad = (jnp.arange(mi) >= jf).astype(jnp.float64)
-            Hs = H[:mi, :mi] + jnp.diag(pad)
-            gs = jnp.where(jnp.arange(mi) < jf, g[:mi], 0.0)
-            y = jax.scipy.linalg.solve_triangular(Hs, gs, lower=False)
-            x = x + Z @ y[:, None]
-            r = b - self.matvec(state, x, prec)
-            res_r = (
-                jnp.max(jnp.abs(r)) if tol_abs else jnp.linalg.norm(r) / beta
-            )
-            return x, r, res_g, res_r, jf, hist
-
-        self._cycles[key] = cycle
-        return cycle
+        return self.ops.cycle_fn(prec, tol_abs, mi)
 
 
 def fgmres_fused(
@@ -365,9 +447,12 @@ def fgmres_fused(
     tol_dev = jnp.float64(tolerance.tolerance)
     iteration = 1
     for _outer in range(max_outer_iterations):
-        x, r, res_g, res_r, jf, hist = cycle(state, b, x, r, beta_dev, tol_dev)
-        # ONE synchronisation point per restart cycle
-        res_g, res_r, jf, hist = float(res_g), float(res_r), int(jf), np.asarray(hist)
+        x, r, stats = cycle(state, b, x, r, beta_dev, tol_dev)
+        # ONE synchronisation point per restart cycle: stats packs
+        # [res_g, res_r, jf, hist...] so this is a single device pull
+        stats = np.asarray(stats)
+        res_g, res_r, jf = float(stats[0]), float(stats[1]), int(stats[2])
+        hist = stats[3:]
         for j in range(jf):
             emit(callback, SolverIteration(
                 iter=iteration,
