@@ -673,12 +673,28 @@ def main():
             extra[f"{name}_skipped"] = f"budget ({budget_left():.0f}s left < {need}s)"
             state.emit()
             continue
-        try:
-            r = fn()
-            if name == "headline":
-                state.headline = r
-        except Exception as e:  # record, keep going
-            extra[f"{name}_error"] = _clean_err(e, 600)
+        err = None
+        for attempt in range(2):
+            try:
+                r = fn()
+                if name == "headline":
+                    state.headline = r
+                err = None
+                break
+            except Exception as e:  # record, keep going
+                err = e
+                msg = _clean_err(e, 600)
+                # the remote-compile helper 500s transiently (killed the
+                # r4 config 5 AND the r5 in-session errbudget step); one
+                # step-level retry recompiles through the (now possibly
+                # healthy) helper — each retry is recorded
+                transient = "HTTP 500" in msg or "remote_compile" in msg
+                if attempt == 0 and transient and budget_left() > need:
+                    extra[f"{name}_retry"] = msg[:200]
+                    continue
+                break
+        if err is not None:
+            extra[f"{name}_error"] = _clean_err(err, 600)
         state.emit()
 
     signal.alarm(0)

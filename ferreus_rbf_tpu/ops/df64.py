@@ -27,10 +27,18 @@ are all plain f64 on CPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _part_budget_bytes() -> int:
+    """Max bytes for one ozaki plane-product partial before the free axis
+    is chunked (``FERREUS_RBF_TPU_OZAKI_BYTES``, default 768 MB)."""
+    return int(float(os.environ.get("FERREUS_RBF_TPU_OZAKI_BYTES", 768e6)))
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
 
@@ -302,6 +310,46 @@ def ozaki_dot(a64, b64, dimension_numbers, nsl=6, keep=None):
     N = b.shape[1]
     g = -(-L // _MAX_ACCUM)
     lc = -(-L // g)  # per-chunk contraction length <= 256
+
+    # Output-chunking guard: the plane-product partials below are f32
+    # tensors of up to (B, g, nsl*M, N), and XLA keeps several diagonals
+    # alive under remat. At large adaptive-tree levels (200k+ points at
+    # p >= 7; any 2M+ fit) ONE partial exceeds 4 GB and the program OOMs
+    # the 16 GB chip at compile time — surfaced by the tunneled compile
+    # helper as an opaque HTTP 500 (this killed every 3M config-5 attempt
+    # in rounds 1-4). When the predicted partial exceeds the budget, chunk
+    # the larger free axis and lax.map the chunks sequentially so only one
+    # partial set is live at a time. Bitwise identical: each chunk runs
+    # the same exact split-dot path on a row/column subset.
+    if g == 1 and keep * lc <= _MAX_ACCUM:
+        part_bytes = 4 * B * M * N
+    elif nsl * M <= max(128, N):
+        part_bytes = 4 * B * g * nsl * M * N
+    elif nsl * N <= max(128, M):
+        part_bytes = 4 * B * g * M * nsl * N
+    else:
+        part_bytes = 4 * B * g * M * N
+    budget = _part_budget_bytes()
+    if part_bytes > budget and max(M, N) > 1:
+        dn = (((2,), (2,)), ((0,), (0,)))
+        n_ch = int(min(-(-part_bytes // budget), max(M, N)))
+        if N >= M:
+            nc = -(-N // n_ch)
+            n_ch = -(-N // nc)
+            bp = jnp.pad(b, ((0, 0), (0, n_ch * nc - N), (0, 0)))
+            bs = bp.reshape(B, n_ch, nc, L).transpose(1, 0, 2, 3)
+            out_ch = jax.lax.map(
+                lambda bc_: ozaki_dot(a, bc_, dn, nsl=nsl, keep=keep)[0], bs)
+            out = out_ch.transpose(1, 2, 0, 3).reshape(B, M, n_ch * nc)
+            return out[:, :, :N], a_free, b_free
+        mc = -(-M // n_ch)
+        n_ch = -(-M // mc)
+        ap = jnp.pad(a, ((0, 0), (0, n_ch * mc - M), (0, 0)))
+        as_ = ap.reshape(B, n_ch, mc, L).transpose(1, 0, 2, 3)
+        out_ch = jax.lax.map(
+            lambda ac_: ozaki_dot(ac_, b, dn, nsl=nsl, keep=keep)[0], as_)
+        out = out_ch.transpose(1, 0, 2, 3).reshape(B, n_ch * mc, N)
+        return out[:, :M], a_free, b_free
     if g * lc != L:
         pad = g * lc - L
         a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))

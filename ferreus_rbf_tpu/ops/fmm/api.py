@@ -40,6 +40,7 @@ from .tree import Octree, PointOutsideTreeError, calculate_tree_center_and_radiu
 
 __all__ = ["FmmTree", "PointOutsideTreeError", "KernelDoesNotSupportGradientsError"]
 
+import functools as _functools
 import os as _os
 
 # df64 near-field accuracy/speed dial: number of slice-product DIAGONALS the
@@ -56,6 +57,14 @@ except ValueError as _e:
         f"split-dot diagonals to keep), got {_os.environ['FERREUS_RBF_TPU_DF64_KEEP']!r}"
     ) from _e
 _DF64_KEEP = max(1, _DF64_KEEP)
+
+
+@_functools.lru_cache(maxsize=1)
+def _zall_budget_bytes() -> int:
+    """Max bytes for a level's df64 M2L rank pre-compression table before
+    that level falls back to the slot-chunked two-step path
+    (``FERREUS_RBF_TPU_ZALL_BYTES``, default 1.25 GB)."""
+    return int(float(_os.environ.get("FERREUS_RBF_TPU_ZALL_BYTES", 1.25e9)))
 
 
 def _far_keep_for(prec: str) -> int:
@@ -383,7 +392,25 @@ def _downward(dev, mult, w_sorted, w_tiles=None, *, kparams, prec="f64"):
         # from the compact block, not the whole-tree multipole table.
         mult_src = mult_pad[src_cells]  # (S+1, p^d, r): each source ONCE
 
-        if df and vt_c is not None:
+        # The pre-compression table z_all is (g, S+1, k, r) f64 — ~2.2 GB
+        # for the 32k-cell level of a 3M-point tree (plus its z_flat
+        # reshape). Levels whose table would blow the budget fall back to
+        # a slot-chunked two-step split-dot path: ~2x the Vt reads, zero
+        # resident table (the 3M/10M memory plan needs the HBM more than
+        # the reads; see docs/performance.md).
+        z_bytes = 0
+        if vt_c is not None:
+            z_bytes = (vt_c.shape[0] * mult_src.shape[0] * vt_c.shape[1]
+                       * mult_src.shape[2] * 8)
+        if df and vt_c is not None and z_bytes > _zall_budget_bytes():
+            def _level_chunk(_, src_c, u_c=u_c, vt_c=vt_c,
+                             mult_src=mult_src, kf=kf):
+                x = mult_src[src_c]  # (g, c_chunk, p^d, r)
+                z = df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x,
+                                          nsl=kf, keep=kf)
+                return None, df64_mod.ozaki_einsum(
+                    "gpk,gckr->cpr", u_c, z, nsl=kf, keep=kf)
+        elif df and vt_c is not None:
             # df64 rank pre-compression: push every level source through
             # every Vt ONCE (g x S split dots instead of g x n_slots — the
             # slot axis duplicates each source up to 8x), then gather only
@@ -1210,6 +1237,23 @@ def _sharded_m2l(mesh, dev, mult_pad, *, ct, df, kf=_DF64_KEEP):
             u_c = u_stack.astype(ct)
             vt_c = vt_pack.astype(ct) if has_vt[i] else None
             mult_src = mult_pad[src_cells]  # replicated compact level block
+            z_bytes = 0
+            if vt_c is not None:
+                z_bytes = (vt_c.shape[0] * mult_src.shape[0] * vt_c.shape[1]
+                           * mult_src.shape[2] * 8)
+            if df and vt_c is not None and z_bytes > _zall_budget_bytes():
+                # same at-scale fallback as _downward: the replicated
+                # z_all table would blow the per-device HBM budget, so
+                # compress per slot block instead (2x Vt reads, no table)
+                x = mult_src[src_slots.T]  # (g, c_b, q, r)
+                z = df64_mod.ozaki_einsum("gkq,gcqr->gckr", vt_c, x,
+                                          nsl=kf, keep=kf)
+                y = df64_mod.ozaki_einsum("gpk,gckr->cpr", u_c, z,
+                                          nsl=kf, keep=kf)
+                local_part = local_part.at[cells_b].add(
+                    y.astype(ct), mode="drop", unique_indices=True
+                )
+                continue
             if df and vt_c is not None:
                 # rank pre-compression + lane-aligned flattened gather,
                 # mirroring _downward: compress every level source through

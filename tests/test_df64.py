@@ -131,3 +131,26 @@ def test_ozaki_dot_long_contraction_exact_accumulation(rng, k):
     scale = np.abs(a) @ np.abs(b)
     err = np.max(np.abs(got - a @ b) / scale)
     assert err < 1e-12, err
+
+
+def test_ozaki_chunked_bitwise_equal(rng, monkeypatch):
+    """The output-chunking guard (big-level OOM fix, round 5) must be
+    invisible: a tiny partial budget forces the lax.map chunked path, whose
+    result is BITWISE equal to the unchunked one — each output element runs
+    the identical exact split-dot contraction on a row/column subset."""
+    for spec, ash, bsh in [
+        ("gkq,sqr->gskr", (7, 27, 125), (333, 125, 2)),  # rank pre-compression
+        ("gpk,gckr->cpr", (16, 65, 27), (16, 97, 27, 2)),  # M2L expansion
+        ("mps,msr->mpr", (5, 64, 96), (5, 96, 3)),  # P2L kernel block
+    ]:
+        a = jnp.asarray(rng.standard_normal(ash))
+        b = jnp.asarray(rng.standard_normal(bsh))
+        ref = df64.ozaki_einsum(spec, a, b, nsl=4, keep=4)
+        df64._part_budget_bytes.cache_clear()
+        monkeypatch.setenv("FERREUS_RBF_TPU_OZAKI_BYTES", "100000")
+        try:
+            chunked = df64.ozaki_einsum(spec, a, b, nsl=4, keep=4)
+        finally:
+            df64._part_budget_bytes.cache_clear()
+            monkeypatch.delenv("FERREUS_RBF_TPU_OZAKI_BYTES")
+        assert bool(jnp.all(ref == chunked)), spec

@@ -629,3 +629,36 @@ def test_far_keep_policy_end_to_end_error(monkeypatch):
     assert "df64f3" in errs, errs  # the policy must actually reduce the dial
     # both truncation-bound; the reduced dial may add at most ~0.01 * eps
     assert errs["df64f3"] <= 2.0 * errs["df64"] + 0.01 * params.epsilon, errs
+
+
+def test_zall_fallback_bitwise_equal(monkeypatch):
+    """Levels whose df64 M2L rank-precompression table exceeds the budget
+    fall back to a slot-chunked two-step split-dot path (round-5 at-scale
+    memory fix). Per output element both paths run the identical exact
+    contractions, so the full matvec must be BITWISE equal."""
+    import jax
+    import jax.numpy as jnp
+
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    rng = np.random.default_rng(31)
+    pts = rng.random((4000, 3))
+    kp = KernelParams(KernelType.LinearRbf)
+    params = FmmParams(interpolation_order=4, max_points_per_cell=64,
+                       compression_type=FmmCompressionType.ACA, epsilon=1e-4)
+    tree = fmm_api.FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True,
+                           params=params)
+    tree.prepare_targets(pts, "src")
+    w = jnp.asarray(rng.standard_normal((4000, 2)))
+    ref = np.asarray(tree.evaluate_device(w, "src", precision="df64"))
+
+    fmm_api._zall_budget_bytes.cache_clear()
+    monkeypatch.setenv("FERREUS_RBF_TPU_ZALL_BYTES", "0")
+    jax.clear_caches()  # the gate is read at trace time
+    try:
+        got = np.asarray(tree.evaluate_device(w, "src", precision="df64"))
+    finally:
+        fmm_api._zall_budget_bytes.cache_clear()
+        monkeypatch.delenv("FERREUS_RBF_TPU_ZALL_BYTES")
+        jax.clear_caches()
+    assert np.array_equal(ref, got)
