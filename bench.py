@@ -469,6 +469,28 @@ def config4_error_budget(extra):
     }
 
 
+def _standalone_3m_summary():
+    """Committed standalone 3M artifact (docs/logs/fit_3m_r5.log), cited in
+    the compact line whenever the live config-5 fit cannot run inside the
+    driver's budget — the 3M solve alone is ~1,400 s warm, which does not
+    fit after configs 1-4. Labeled standalone: it is a committed log, not
+    a this-run measurement."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "logs", "fit_3m_r5.log")
+    try:
+        line = [l for l in open(path) if l.startswith("{")][-1]
+        d = json.loads(line)
+        return {
+            "n": d["n"], "fit_s": d["fit_s"],
+            "res_l2": d["solver_residual_rel"],
+            "conv": d["solver_converged"],
+            "true_res_max": d.get("true_residual_rel_max"),
+            "src": "docs/logs/fit_3m_r5.log (committed standalone run)",
+        }
+    except Exception:
+        return None
+
+
 def config5_3m_rmt(extra):
     """3M fit + RMT with a compile-failure recovery ladder (VERDICT r4 item 2):
     a transient remote-compile HTTP 500 killed the whole config in r4, so each
@@ -590,6 +612,8 @@ class _State:
             "configs": cfgs,
             "elapsed_s": x.get("elapsed_s"),
         }
+        if "c5_3m" not in cfgs and x.get("config5_standalone"):
+            out["c5_3m_standalone"] = x["config5_standalone"]
         if "scaling_sp_matvec_ms" in x:
             out["scaling_sp_matvec_ms"] = x["scaling_sp_matvec_ms"]
         if "error_budget_c4" in x:
@@ -615,7 +639,7 @@ class _State:
         # hard cap: drop optional blocks largest-first until it fits the
         # driver's 2,000-byte tail with margin
         drop_order = ["error_budget_c4", "scaling_sp_matvec_ms", "errors",
-                      "skipped", "configs"]
+                      "skipped", "c5_3m_standalone", "configs"]
         s = json.dumps(line, separators=(",", ":"))
         while len(s) > 1900 and drop_order:
             out.pop(drop_order.pop(0), None)
@@ -640,6 +664,9 @@ class _State:
 def main():
     state = _State()
     extra = state.extra
+    s3 = _standalone_3m_summary()
+    if s3:
+        extra["config5_standalone"] = s3
 
     def _on_signal(signum, frame):
         extra["killed_by"] = signal.Signals(signum).name
@@ -666,7 +693,7 @@ def main():
         ("gradients", lambda: config2_gradients(extra), 250),
         ("errbudget", lambda: config4_error_budget(extra), 300),
         ("config4", lambda: config4_million(extra), 600),
-        ("config5", lambda: config5_3m_rmt(extra), 900),
+        ("config5", lambda: config5_3m_rmt(extra), 600),
     ]
     for name, fn, need in steps:
         if budget_left() < need:

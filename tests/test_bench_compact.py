@@ -71,7 +71,30 @@ def _worst_case_state(bench):
                            {"rung": "3m_fused_retry", "error": "e" * 160},
                            {"rung": "3m_hostloop", "error": "e" * 160}]
     x["killed_by"] = "SIGALRM"
+    x["config5_standalone"] = {
+        "n": 3_000_000, "fit_s": 1969.6, "res_l2": 2.997e-07, "conv": True,
+        "true_res_max": 1.413e-05,
+        "src": "docs/logs/fit_3m_r5.log (committed standalone run)",
+    }
     return st
+
+
+def test_standalone_3m_cited_when_live_config5_missing(bench):
+    """When the driver's budget cannot fit a live 3M fit (the usual case:
+    its solve alone is ~1,400 s warm), the compact line must still carry
+    the committed standalone 3M evidence, clearly labeled."""
+    st = _worst_case_state(bench)
+    del st.extra["config5_3m_fit"]
+    parsed = json.loads(st.compact())
+    s = parsed["extra"]["c5_3m_standalone"]
+    assert s["res_l2"] == 2.997e-07 and "standalone" in s["src"]
+    assert len(st.compact().encode()) < 1900
+
+
+def test_standalone_3m_summary_reads_committed_log(bench):
+    s = bench._standalone_3m_summary()
+    assert s is not None, "docs/logs/fit_3m_r5.log missing or unparseable"
+    assert s["conv"] is True and s["res_l2"] < 1e-6
 
 
 def test_compact_line_fits_driver_tail(bench):
