@@ -91,6 +91,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the axon TPU plugin ignores "
                          "JAX_PLATFORMS; this uses jax.config before device use)")
+    ap.add_argument("--rmt", action="store_true",
+                    help="extract the zero isosurface after the fit (driver "
+                         "config-5 semantics: res 0.02, extents +-1.4, no "
+                         "boundary closure) and report mesh counts")
+    ap.add_argument("--save-model", metavar="PATH", default=None,
+                    help="save the fitted model JSON (lets later processes "
+                         "evaluate/isosurface without refitting)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -151,6 +158,21 @@ def main():
         scale = float(np.max(np.abs(oc["oracle"])))
         out["value_vs_f64_oracle"] = float(
             f"{np.max(np.abs(pred - oc['oracle'])) / scale:.3e}")
+
+    if args.save_model:
+        t0 = time.perf_counter()
+        rbfi.save_model(args.save_model)
+        out["save_model_s"] = round(time.perf_counter() - t0, 1)
+
+    if args.rmt:
+        print("[fit_at_scale] extracting isosurface (res 0.02)", flush=True)
+        t0 = time.perf_counter()
+        mesh = rbfi.build_isosurface(
+            [-1.4, -1.4, -1.4, 1.4, 1.4, 1.4], 0.02, 0.0,
+            frt.BoundaryClosure.None_)
+        out["rmt_s"] = round(time.perf_counter() - t0, 1)
+        out["mesh_vertices"] = int(mesh.num_vertices)
+        out["mesh_facets"] = int(mesh.num_facets)
 
     out.update({k: v for k, v in _hbm_stats().items() if "peak" in k})
     print(json.dumps(out), flush=True)
