@@ -695,7 +695,14 @@ def main():
         ("config4", lambda: config4_million(extra), 600),
         ("config5", lambda: config5_3m_rmt(extra), 600),
     ]
+    import gc
+
     for name, fn, need in steps:
+        # drop the previous config's device buffers (tree tables, Schwarz
+        # factors) before the next one sizes itself to the chip — reference
+        # cycles otherwise keep them alive into the at-scale configs (the
+        # r5 in-bench 2M OOM while the 3M standalone fit succeeded)
+        gc.collect()
         if budget_left() < need:
             extra[f"{name}_skipped"] = f"budget ({budget_left():.0f}s left < {need}s)"
             state.emit()
