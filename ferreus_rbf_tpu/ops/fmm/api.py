@@ -616,13 +616,30 @@ def _near_field_class(
 ):
     """One width class of the near field, scanned over ROW CHUNKS with the
     source gathers INSIDE the scan body — the fully-gathered (R, S, d+nrhs)
-    tables are multi-GB at 1M points, so only one chunk is ever live."""
-    coords_c = src_coords.astype(ct)
+    tables are multi-GB at 1M points, so only one chunk is ever live.
+
+    ``src_coords`` is either a (N, d) coordinate table (P2P: the sorted
+    points) or a ``(centers, lengths, nodes_nd)`` tuple (M2P): the flat
+    per-cell Chebyshev node table is (ncells * p^d, d) f64 — 1.4 GB at 10M
+    points — so M2P nodes are recomputed per gathered index instead of
+    stored (bitwise equal: same ``center + (length/2) * node`` f64 ops)."""
+    virtual_nodes = isinstance(src_coords, tuple)
+    if virtual_nodes:
+        centers64, lengths64, nodes_nd64 = src_coords
+        nnodes = nodes_nd64.shape[0]
+    else:
+        coords_c = src_coords.astype(ct)
     vals_c = src_vals.astype(ct)
 
     def body(_, xs):
         rws, sidx, smask = xs
-        sp = coords_c[sidx]  # (chunk, S, d)
+        if virtual_nodes:
+            c_idx = sidx // nnodes
+            sp = (centers64[c_idx]
+                  + (lengths64[c_idx][..., None] * 0.5)
+                  * nodes_nd64[sidx % nnodes]).astype(ct)
+        else:
+            sp = coords_c[sidx]  # (chunk, S, d)
         wv = jnp.where(smask[..., None], vals_c[sidx], ct(0.0))
         tp = tpts[rws].astype(ct)
         if pallas_nf:
@@ -909,7 +926,9 @@ def _leaf_all(
             pal_ok = pallas_nf and tpts.shape[1] * w_class <= (1 << 20)
             vals, grads = _near_field_class(
                 kernel, kparams, pal_ok, with_grads, ct,
-                tpts, tgt_mask, dev["cell_nodes_flat"], mult_flat, rows, nidx_tab, nmask_tab,
+                tpts, tgt_mask,
+                (dev["cell_centers"], dev["cell_lengths"], dev["nodes_nd"]),
+                mult_flat, rows, nidx_tab, nmask_tab,
                 c_pal if pal_ok else c_scan,
             )
             vals_b = vals_b.at[rows].add(vals.astype(vals_b.dtype), mode="drop", unique_indices=True)
@@ -1588,7 +1607,7 @@ class FmmTree:
         # cast — measured as a 1.8e-3 solver stagnation floor on the
         # albatite dataset).
         center = self._world_center
-        src_bucket_idx = jnp.asarray(self.src_bucket_idx)
+        src_bucket_idx = jnp.asarray(self.src_bucket_idx.astype(np.int32))
         src_bucket_mask = jnp.asarray(self.src_bucket_mask)
         pts_sorted = jnp.asarray(self.points_sorted - center)
         cell_centers_c = self.cell_centers - center
@@ -1604,11 +1623,11 @@ class FmmTree:
         chunk = 1 << (int(chunk).bit_length() - 1)
         nsl_pad = ((nsl + chunk - 1) // chunk) * chunk
         chunk = min(chunk, nsl_pad)
-        idx_t = np.zeros((nsl_pad, self.smax), np.int64)
+        idx_t = np.zeros((nsl_pad, self.smax), np.int32)
         msk_t = np.zeros((nsl_pad, self.smax), bool)
         ctr_t = np.ones((nsl_pad, d))
         len_t = np.ones(nsl_pad)
-        cells_t = np.full(nsl_pad, self.tree.num_cells, np.int64)
+        cells_t = np.full(nsl_pad, self.tree.num_cells, np.int32)
         idx_t[:nsl] = self.src_bucket_idx[:nsl]
         msk_t[:nsl] = self.src_bucket_mask[:nsl]
         ctr_t[:nsl] = src_centers
@@ -1626,8 +1645,8 @@ class FmmTree:
             pc = 1 << (int(pc).bit_length() - 1)
             m_pad = ((m + pc - 1) // pc) * pc
             pc = min(pc, m_pad)
-            tgt_t = np.full(m_pad, self.tree.num_cells + 1, np.int64)
-            srcr_t = np.zeros(m_pad, np.int64)
+            tgt_t = np.full(m_pad, self.tree.num_cells + 1, np.int32)
+            srcr_t = np.zeros(m_pad, np.int32)
             ctr_t2 = np.ones((m_pad, d))
             len_t2 = np.ones(m_pad)
             tgt_t[:m] = self.p2l_tgt
@@ -1696,15 +1715,10 @@ class FmmTree:
             "nodes_nd": jnp.asarray(self.nodes_nd),
             "cell_centers": jnp.asarray(cell_centers_c),
             "cell_lengths": jnp.asarray(self.cell_lengths),
-            # every cell's Chebyshev nodes in tree-centred coordinates,
-            # flattened to (ncells * p^d, d) for the M2P node gathers
-            "cell_nodes_flat": jnp.asarray(
-                cheb.scale_nodes_to_cell(
-                    self.nodes_nd,
-                    cell_centers_c,
-                    self.cell_lengths,
-                )
-            ).reshape(-1, d),
+            # NOTE: the flat per-cell Chebyshev node table ((ncells * p^d,
+            # d) f64 — 1.4 GB at 10M points) is NOT stored; the M2P
+            # fallback recomputes gathered nodes from (centers, lengths,
+            # nodes_nd) inside _near_field_class, bitwise-identically.
         }
 
         self._dev["nodes_t"] = jnp.asarray(self.nodes_t)
