@@ -1734,10 +1734,20 @@ class FmmTree:
         wc = self._w_sorted[:, 1]
         wc = np.unique(wc[self.tree.has_points[wc]]) if wc.size else wc
         nw = int(wc.size)
-        self._m2p_nw = nw
         self._cell_to_wtile = None
+        # The two (nw+1, 8, s_node) f32 tile copies reach 2.1 GB at 10M
+        # points; above the budget the M2P reroutes to the scan path with
+        # on-the-fly node computation (_near_field_class virtual nodes) —
+        # slower per w-cell, zero resident tiles.
+        s_node = -(-self.nnodes // 128) * 128
+        nt_bytes = (nw + 1) * 8 * s_node * 4 * 2
+        self._m2p_tiles_gated = False
+        if nw and nt_bytes > int(float(_os.environ.get(
+                "FERREUS_RBF_TPU_NODETILE_BYTES", 1.5e9))):
+            nw = 0
+            self._m2p_tiles_gated = True
+        self._m2p_nw = nw
         if nw:
-            s_node = -(-self.nnodes // 128) * 128
             node_xyz = np.asarray(
                 cheb.scale_nodes_to_cell(
                     self.nodes_nd, cell_centers_c[wc], self.cell_lengths[wc]
@@ -2124,7 +2134,11 @@ class FmmTree:
                 and int(wtab[2].shape[0]) * 12 <= (700 << 10)
             ):
                 return (), (), wtab
-        elif self._use_pallas and (prec == "f32" or prec.startswith("df64")):
+        elif (self._use_pallas and (prec == "f32" or prec.startswith("df64"))
+              and not self._m2p_tiles_gated):
+            # when the node-tile budget gated the tiles off (huge trees),
+            # M2P must route through the scan tables below instead of the
+            # (absent) tile kernels
             return (), (), wtab
         if "m2p_groups_dev" not in binned:
             self._ensure_scan_tables(binned)

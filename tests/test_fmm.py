@@ -662,3 +662,70 @@ def test_zall_fallback_bitwise_equal(monkeypatch):
         monkeypatch.delenv("FERREUS_RBF_TPU_ZALL_BYTES")
         jax.clear_caches()
     assert np.array_equal(ref, got)
+
+
+def test_m2p_node_tile_gate_equivalence(monkeypatch):
+    """When the node-tile budget gates the Pallas M2P tiles off (huge
+    trees), the w-list contribution must reroute through the scan tables
+    with on-the-fly virtual nodes and agree with the tile route."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ferreus_rbf_tpu.ops.fmm.p2p_pallas as pp
+    from ferreus_rbf_tpu.ops.fmm import api as fmm_api
+
+    import inspect
+
+    for kname in ("p2p_leaf_pairs", "p2p_leaf_fused", "p2p_leaf_slab",
+                  "p2p_rows", "p2p_leaf_pairs_df64", "p2p_pairlist_df64",
+                  "p2p_pairlist_df64_grad"):
+        fn = getattr(pp, kname, None)
+        if fn is None or not hasattr(fn, "__wrapped__"):
+            continue
+        sig = set(inspect.signature(fn.__wrapped__).parameters)
+        statics = tuple(n for n in ("kparams", "nsl", "keep", "interpret")
+                        if n in sig)
+        monkeypatch.setattr(
+            pp, kname,
+            functools.partial(
+                jax.jit(fn.__wrapped__, static_argnames=statics),
+                interpret=True,
+            ),
+        )
+    rng = np.random.default_rng(37)
+    # strongly non-uniform density so the adaptive tree produces w/x lists
+    pts = np.concatenate([
+        rng.random((2400, 3)) * 0.12,            # dense cluster
+        rng.random((600, 3)),                     # sparse background
+    ])
+    kp = KernelParams(KernelType.LinearRbf)
+    params = FmmParams(interpolation_order=4, max_points_per_cell=64,
+                       compression_type=FmmCompressionType.ACA, epsilon=1e-4)
+
+    def run():
+        tree = fmm_api.FmmTree(pts, 4, kp, adaptive_tree=True, sparse=True,
+                               params=params)
+        assert tree._w_sorted.size, "fixture must exercise the w-list"
+        monkeypatch.setattr(tree, "_use_pallas", True)
+        tree.prepare_targets(pts, "src")
+        w = jnp.asarray(rng.standard_normal((3000, 2)))
+        return (tree._m2p_tiles_gated,
+                np.asarray(tree.evaluate_device(w, "src", precision="f32")))
+
+    rng = np.random.default_rng(37)  # same weights both runs
+    gated0, ref = run()
+    assert not gated0
+    monkeypatch.setenv("FERREUS_RBF_TPU_NODETILE_BYTES", "0")
+    jax.clear_caches()
+    rng = np.random.default_rng(37)
+    try:
+        gated1, got = run()
+    finally:
+        monkeypatch.delenv("FERREUS_RBF_TPU_NODETILE_BYTES")
+        jax.clear_caches()
+    assert gated1
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < 1e-5, (
+        np.max(np.abs(got - ref)) / scale)
