@@ -98,6 +98,13 @@ def main():
     ap.add_argument("--save-model", metavar="PATH", default=None,
                     help="save the fitted model JSON (lets later processes "
                          "evaluate/isosurface without refitting)")
+    ap.add_argument("--eval-chunk", type=int, default=None,
+                    help="FmmParams.eval_chunk_size override: linearly "
+                         "scales the leaf-pass transient budgets (memory vs "
+                         "step count; default 1024)")
+    ap.add_argument("--progress", action="store_true",
+                    help="print solver iteration residuals as they happen "
+                         "(evidence of convergence even if the run is cut)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -117,17 +124,32 @@ def main():
     pts, sd = _synthetic_sd(n)
     s = frt.InterpolantSettings(kernel_type=frt.RBFKernelType.Linear)
     params = None
-    if args.order is not None:
+    if args.order is not None or args.eval_chunk is not None:
+        from ferreus_rbf_tpu.config import get_default_fmm_interpolation_order
+
+        order = args.order or get_default_fmm_interpolation_order(
+            frt.RBFKernelType.Linear)
         params = Params(fmm_params=FmmParams(
-            interpolation_order=args.order, max_points_per_cell=256,
-            compression_type=FmmCompressionType.ACA, epsilon=10.0 ** -args.order))
+            interpolation_order=order, max_points_per_cell=256,
+            compression_type=FmmCompressionType.ACA, epsilon=10.0 ** -order,
+            eval_chunk_size=args.eval_chunk or 1024))
 
     out = {"n": n, "order": args.order or "default",
            "kernel": "Linear (biharmonic)"}
+    progress = None
+    if args.progress:
+        t_start = time.perf_counter()
+
+        def _cb(msg):
+            print(f"[fit_at_scale +{time.perf_counter() - t_start:7.1f}s] "
+                  f"{msg}", flush=True)
+
+        progress = frt.Progress(_cb)
     tracer = telemetry.enable_global_tracer()
     t0 = time.perf_counter()
-    rbfi = (frt.RBFInterpolator(pts, sd, s, params) if params is not None
-            else frt.RBFInterpolator(pts, sd, s))
+    rbfi = (frt.RBFInterpolator(pts, sd, s, params, progress_callback=progress)
+            if params is not None
+            else frt.RBFInterpolator(pts, sd, s, progress_callback=progress))
     out["fit_s"] = round(time.perf_counter() - t0, 1)
     out["fit_stages_s"] = {k: round(v, 1) for k, v in tracer.totals.items()}
     events = list(tracer.events)
